@@ -1,0 +1,112 @@
+"""Pipeline configuration + SparkSession factory.
+
+The config fingerprint plays the role of kmcp's database-compatibility
+checks (`kmcp/cmd/util-db-search.go:689-695`: a query is only valid
+against an index built with the same k / scale / hash params): resumable
+stages are only reused when the fingerprint of the config that produced
+them matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class SketchConfig:
+    """Shingle + signature parameters (analog of kmcp compute flags)."""
+
+    char_k: int = 6           # transcript character k-gram size (k analog)
+    word_n: int = 3           # transcript word n-gram size
+    audio_ngram: int = 4      # spectral-frame token n-gram size
+    frame_ms: int = 25
+    hop_ms: int = 10
+    n_bands: int = 8
+    quant_levels: int = 8
+    num_perm: int = 128       # MinHash signature length
+    scale: int = 1            # FracMinHash down-sampling (1 = keep all)
+    master_seed: int = 42
+
+
+@dataclass(frozen=True)
+class LSHConfig:
+    """Banding + skew parameters (analog of kmcp index flags).
+
+    ``max_bucket`` mirrors kmcp's size-escalation thresholds
+    (`kmcp/cmd/index.go:787-894`, flags at `:1453-1463`): buckets larger
+    than this are salted/split instead of pair-expanded in one task.
+    """
+
+    bands: int = 32
+    rows_per_band: int = 4    # bands * rows_per_band <= num_perm
+    max_bucket: int = 2000    # cap on bucket size before salted splitting
+    shuffle_partitions: int | None = None
+
+
+@dataclass(frozen=True)
+class VerifyConfig:
+    """Candidate thresholds (analog of kmcp search -t/-T/-n/-f flags,
+    `kmcp/cmd/util-db-search.go:7466-7493`)."""
+
+    min_est_jaccard: float = 0.5     # signature-estimated Jaccard gate
+    min_containment: float = 0.7     # qCov analog for truncation dups
+    max_simhash_hamming: int = 12
+    min_common_substring: int = 24   # suffix-array verified LCS (chars)
+    min_shared_bands: int = 1
+    # per-domain "identical modality" paths (FIXTURES.md detection paths:
+    # T2/T3 match on text alone, T4 matches on audio alone):
+    min_domain_jaccard: float = 0.85
+    min_domain_size: int = 10
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    sketch: SketchConfig = field(default_factory=SketchConfig)
+    lsh: LSHConfig = field(default_factory=LSHConfig)
+    verify: VerifyConfig = field(default_factory=VerifyConfig)
+    checkpoint_dir: str = "_checkpoints"
+    cc_max_iters: int = 50
+    cc_checkpoint_every: int = 5
+
+    def fingerprint(self) -> str:
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def get_spark(
+    app: str = "kmcp_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Local-mode session tuned per the public PySpark guidance.
+
+    On a real cluster these settings come from spark-submit; nothing in
+    the pipeline assumes local mode.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

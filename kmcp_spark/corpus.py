@@ -1,0 +1,219 @@
+"""Deterministic synthetic corpus of audio clip + transcript pairs.
+
+Schema is exactly the input_hint:
+    clips(clip_id string, bytes binary, sr_hz int, dur_ms int,
+          codec string, transcript string)
+plus a ground-truth table
+    truth(clip_id string, cluster_id string, transform string)
+
+Planted duplicate clusters follow FIXTURES.md §2 (the analog of the
+reference's 15-genome mock community with golden truth,
+`/root/reference/demo-profiling/mock.gs.profile`): ~10% of rows belong
+to clusters of size 2–8 whose members derive from a base clip by one
+labeled transform:
+
+    T0 exact      — byte-identical
+    T1 re-encode  — wav <-> raw pcm_s16le container change (lossless;
+                    PCM identical, so SNR = inf >= 30 dB).  ("flac" is a
+                    stub codec in this environment — no codec libs.)
+    T2 gain       — ×0.8 amplitude (spectral tokens are amplitude-
+                    normalized, so the audio shingles survive)
+    T3 truncate   — drop last 10% samples, dur_ms updated (containment)
+    T4 edit       — identical audio, 1–2 transcript word substitutions
+    T5 near-miss  — negative control: unrelated clip sharing one word
+                    (cluster_id = its own clip_id; must NOT pair)
+
+Generation is fully deterministic per clip_id (Philox counter RNG keyed
+by (master_seed, index)) and **distributed**: ``generate_clips`` builds
+the table with ``spark.range(n).mapInPandas`` so corpus creation itself
+scales with the cluster; a local pandas variant backs unit tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from kmcp_spark.functions.audio import encode_wav
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+)
+TRUTH_SCHEMA = "clip_id string, cluster_id string, transform string"
+
+_SRS = np.array([8000, 16000, 44100])
+_BLOCK = 20  # ids are organized in blocks; first ids of a block may form a cluster
+
+_CONSONANTS = list("bcdfghjklmnprstvwz")
+_VOWELS = list("aeiou")
+
+
+def _vocab(size: int = 512) -> list[str]:
+    """Deterministic pronounceable vocabulary (no RNG needed)."""
+    words = []
+    i = 0
+    while len(words) < size:
+        c1 = _CONSONANTS[i % len(_CONSONANTS)]
+        v1 = _VOWELS[(i // len(_CONSONANTS)) % len(_VOWELS)]
+        c2 = _CONSONANTS[(i // 90) % len(_CONSONANTS)]
+        v2 = _VOWELS[(i // 1620) % len(_VOWELS)]
+        words.append(f"{c1}{v1}{c2}{v2}{'x' if i >= 1620 else ''}")
+        i += 1
+    return words
+
+
+VOCAB = _vocab()
+
+
+def _rng(master_seed: int, idx: int) -> np.random.Generator:
+    # SeedSequence([master_seed, idx]) gives independent streams per id;
+    # (keying the Philox *counter* instead would alias streams — the
+    # counter advances during sampling, so nearby ids would overlap)
+    return np.random.default_rng([master_seed, idx])
+
+
+def _base_clip(master_seed: int, idx: int, min_dur_s: float, max_dur_s: float):
+    """Deterministic base audio + transcript for id ``idx``."""
+    rng = _rng(master_seed, idx)
+    sr = int(_SRS[rng.integers(0, len(_SRS))])
+    dur_s = float(rng.uniform(min_dur_s, max_dur_s))
+    n = int(sr * dur_s)
+    t = np.arange(n) / sr
+    pcm = np.zeros(n)
+    # non-stationary content: the tone set changes every ~200 ms so the
+    # spectral-token sequence is rich enough to discriminate clips
+    seg_len = max(int(sr * 0.2), 1)
+    for s0 in range(0, n, seg_len):
+        s1 = min(s0 + seg_len, n)
+        seg_t = t[s0:s1]
+        for _ in range(int(rng.integers(1, 4))):
+            f = float(rng.uniform(80.0, min(4000.0, sr / 2.5)))
+            a = float(rng.uniform(0.1, 0.3))
+            ph = float(rng.uniform(0, 2 * np.pi))
+            # gentle chirp (±5% drift across the segment) so successive
+            # frames differ — richer, more realistic spectral tokens
+            drift = float(rng.uniform(-0.05, 0.05))
+            rel = (seg_t - seg_t[0]) / max(seg_t[-1] - seg_t[0], 1e-9)
+            inst_f = f * (1.0 + drift * rel)
+            pcm[s0:s1] += a * np.sin(2 * np.pi * inst_f * seg_t + ph)
+    pcm += rng.normal(0.0, 0.01, n)  # fixed noise floor (clip SNR ~20-30 dB)
+    pcm = np.clip(pcm, -0.99, 0.99)
+    n_words = int(rng.integers(5, 41))
+    words = [VOCAB[int(w)] for w in rng.integers(0, len(VOCAB), n_words)]
+    codec = "wav" if rng.integers(0, 2) == 0 else "pcm_s16le"
+    return pcm, sr, codec, words, rng
+
+
+def _encode(pcm: np.ndarray, sr: int, codec: str) -> bytes:
+    if codec == "wav":
+        return encode_wav(pcm, sr)
+    x = np.clip(pcm, -1.0, 1.0)
+    return (x * 32767.0).astype("<i2").tobytes()
+
+
+def _cluster_size(block: int) -> int:
+    return 2 + (block % 7)  # 2..8
+
+
+def _plan(idx: int):
+    """(is_member, base_idx, member_j) for id ``idx`` under the block layout.
+
+    In every block of _BLOCK ids, ids [block*_BLOCK, block*_BLOCK+size)
+    form a planted cluster (base = first id).  That yields ~ (mean
+    size)/_BLOCK ≈ 25% candidate rows; we only activate every other
+    block to land near the 10–15%% target with a T5 control per block.
+    """
+    block, off = divmod(idx, _BLOCK)
+    if block % 2 == 1:
+        return None  # inactive block: all independent clips
+    size = _cluster_size(block)
+    if off < size:
+        return (block * _BLOCK, off)  # (base_idx, member_j); j=0 is the base
+    if off == size:
+        return (block * _BLOCK, -1)  # T5 near-miss control
+    return None
+
+
+_TRANSFORMS = ["T0", "T1", "T2", "T3", "T4"]
+
+
+def make_rows(
+    ids: np.ndarray,
+    master_seed: int = 42,
+    min_dur_s: float = 1.0,
+    max_dur_s: float = 5.0,
+) -> pd.DataFrame:
+    """Generate clip + truth rows for the given ids (vector of int64)."""
+    recs = []
+    for idx in ids.tolist():
+        plan = _plan(idx)
+        if plan is None:
+            pcm, sr, codec, words, _ = _base_clip(master_seed, idx, min_dur_s, max_dur_s)
+            transform, cluster = "", f"clip_{idx:010d}"
+        else:
+            base_idx, j = plan
+            pcm, sr, codec, words, _ = _base_clip(master_seed, base_idx, min_dur_s, max_dur_s)
+            rng = _rng(master_seed, (idx << 1) | 1)  # member-local randomness
+            if j == -1:  # T5 near-miss: fresh clip sharing one word with base
+                pcm, sr, codec, own_words, _ = _base_clip(
+                    master_seed, idx + 10_000_019, min_dur_s, max_dur_s
+                )
+                own_words = list(own_words)
+                own_words[int(rng.integers(0, len(own_words)))] = words[0]
+                transform, cluster, words = "T5", f"clip_{idx:010d}", own_words
+            elif j == 0:
+                transform, cluster = "base", f"clip_{base_idx:010d}"
+            else:
+                transform = _TRANSFORMS[(base_idx // _BLOCK + j) % 5]
+                cluster = f"clip_{base_idx:010d}"
+                if transform == "T1":
+                    codec = "pcm_s16le" if codec == "wav" else "wav"
+                elif transform == "T2":
+                    pcm = pcm * 0.8
+                elif transform == "T3":
+                    pcm = pcm[: int(len(pcm) * 0.9)]
+                elif transform == "T4":
+                    words = list(words)
+                    for _ in range(int(rng.integers(1, 3))):
+                        pos = int(rng.integers(0, len(words)))
+                        words[pos] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+        data = _encode(pcm, sr, codec)
+        recs.append(
+            {
+                "clip_id": f"clip_{idx:010d}",
+                "bytes": data,
+                "sr_hz": sr,
+                "dur_ms": int(round(len(pcm) / sr * 1000)),
+                "codec": codec,
+                "transcript": " ".join(words),
+                "cluster_id": cluster,
+                "transform": transform,
+            }
+        )
+    return pd.DataFrame.from_records(
+        recs,
+        columns=[
+            "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+            "cluster_id", "transform",
+        ],
+    )
+
+
+def generate_clips(spark, n: int, master_seed: int = 42,
+                   min_dur_s: float = 1.0, max_dur_s: float = 5.0,
+                   partitions: int | None = None):
+    """Distributed generation: (clips_df, truth_df)."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            yield make_rows(
+                pdf["id"].to_numpy(), master_seed, min_dur_s, max_dur_s
+            )
+
+    full = spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=CLIPS_SCHEMA + ", cluster_id string, transform string"
+    )
+    clips = full.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    truth = full.select("clip_id", "cluster_id", "transform")
+    return clips, truth

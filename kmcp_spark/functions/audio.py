@@ -1,0 +1,135 @@
+"""Audio decode + spectral-frame tokenization, numpy-vectorized.
+
+The input table carries opaque ``bytes`` plus typed metadata
+(sr_hz, dur_ms, codec).  Supported codecs here:
+
+  - ``pcm_s16le``: raw signed-16-bit little-endian mono PCM.
+  - ``wav``: RIFF/WAVE container around PCM16 (parsed with the stdlib
+    ``wave`` module semantics, implemented directly on bytes so it is
+    zero-copy per Arrow batch).
+  - ``flac`` (and anything else): STUBBED — this container has no audio
+    codec libraries; ``decode_pcm`` raises NotImplementedError for them.
+    The Spark-side plumbing (schema, UDF signature, batch shape) is real
+    and tested via the two supported codecs.
+
+Spectral tokens: frames of ``frame_len`` samples with hop ``hop_len``;
+per frame, log-energies of ``n_bands`` rFFT bands are normalized by the
+frame's total energy (making tokens invariant to amplitude scaling —
+detection path T2 in FIXTURES.md §2) and quantized to ``quant_levels``;
+the per-band levels pack into one uint64 token per frame.  Token
+sequences then shingle like text (rolling n-gram hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kmcp_spark.functions.hashing import hash_bytes_rolling
+
+_U64 = np.uint64
+
+
+def decode_pcm(data: bytes, codec: str) -> np.ndarray:
+    """bytes -> float64 PCM in [-1, 1].  Raises on unsupported codecs."""
+    if codec == "pcm_s16le":
+        return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if codec == "wav":
+        return _decode_wav(data)
+    raise NotImplementedError(
+        f"codec {codec!r}: no decoder in this environment (audio codec "
+        "libraries are not installed); pcm_s16le and wav are supported"
+    )
+
+
+def _decode_wav(data: bytes) -> np.ndarray:
+    """Minimal RIFF/WAVE PCM16 parser (mono, fmt chunk -> data chunk)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            raw = data[pos + 8 : pos + 8 + size]
+            return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAVE data chunk not found")
+
+
+def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """float PCM in [-1,1] -> mono PCM16 WAV bytes (for the corpus generator)."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    i16 = (x * 32767.0).astype("<i2").tobytes()
+    size = len(i16)
+    hdr = (
+        b"RIFF" + (36 + size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + int(sr_hz).to_bytes(4, "little")
+        + int(sr_hz * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits
+        + b"data" + size.to_bytes(4, "little")
+    )
+    return hdr + i16
+
+
+def spectral_tokens(
+    pcm: np.ndarray,
+    sr_hz: int,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    n_bands: int = 8,
+    quant_levels: int = 8,
+) -> np.ndarray:
+    """PCM -> uint64 token per frame (amplitude-invariant quantized bands)."""
+    frame_len = max(int(sr_hz * frame_ms / 1000), 8)
+    hop_len = max(int(sr_hz * hop_ms / 1000), 4)
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.shape[0] < frame_len:
+        return np.empty(0, dtype=_U64)
+    n_frames = 1 + (x.shape[0] - frame_len) // hop_len
+    idx = np.arange(frame_len)[None, :] + hop_len * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(frame_len)[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_frames, nbins)
+    nbins = spec.shape[1]
+    edges = np.linspace(0, nbins, n_bands + 1).astype(int)
+    band_e = np.stack(
+        [spec[:, edges[b] : max(edges[b + 1], edges[b] + 1)].sum(axis=1) for b in range(n_bands)],
+        axis=1,
+    )
+    total = band_e.sum(axis=1, keepdims=True)
+    rel = band_e / np.maximum(total, 1e-30)  # amplitude cancels here
+    q = np.minimum((rel * quant_levels).astype(np.int64), quant_levels - 1)
+    # pack band levels into one token (levels <= 8 -> 3 bits/band)
+    bits = max(int(np.ceil(np.log2(quant_levels))), 1)
+    tok = np.zeros(q.shape[0], dtype=_U64)
+    for b in range(n_bands):
+        tok = (tok << _U64(bits)) | q[:, b].astype(_U64)
+    return tok
+
+
+def spectral_shingle_hashes(
+    pcm: np.ndarray, sr_hz: int, ngram: int = 4, **tok_kwargs
+) -> np.ndarray:
+    """PCM -> sorted distinct hashes of token n-grams (the audio shingle set)."""
+    tok = spectral_tokens(pcm, sr_hz, **tok_kwargs)
+    if tok.shape[0] < ngram:
+        return np.empty(0, dtype=_U64)
+    return np.unique(hash_bytes_rolling(tok, ngram))
+
+
+def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
+    """SNR of ``test`` vs ``reference`` in dB (input_hint invariant >= 30)."""
+    n = min(reference.shape[0], test.shape[0])
+    if n == 0:
+        return -np.inf
+    r, t = reference[:n], test[:n]
+    noise = float(np.sum((r - t) ** 2))
+    sig = float(np.sum(r**2))
+    if noise == 0.0:
+        return np.inf
+    if sig == 0.0:
+        return -np.inf
+    return 10.0 * np.log10(sig / noise)

@@ -1,0 +1,205 @@
+"""Candidate verification (the `kmcp search` scoring analog + the north
+rule's suffix-array substring check).
+
+kmcp scores each (query, target) by matched-k-mer count, qCov, tCov and
+Jaccard, then applies thresholds (`kmcp/cmd/util-db-search.go:90-92`,
+`:7466-7493`).  Here:
+
+  - exact scaled-set scores: |A∩B| on the FracMinHash ``codes`` arrays —
+    computed JVM-side with ``array_intersect``/``size`` (no Python);
+    qCov analog = containment = inter/min(|A|,|B|),
+    tCov analog = inter/max(|A|,|B|), jaccard = inter/|A∪B|.
+  - signature-estimated Jaccard: fraction of equal MinHash positions,
+    JVM-side ``zip_with`` + ``aggregate``.
+  - SimHash Hamming: ``bit_count(a ^ b)`` — JVM-side.
+  - suffix-array longest-common-substring on transcripts: Arrow-batched
+    ``mapInPandas`` over the (few) surviving pairs.  This is the one
+    Python stage, and it runs only on verified-candidate volume.
+
+The dup verdict:  a pair is a near-duplicate iff
+    containment >= min_containment
+    AND (simhash_hamming <= max_simhash_hamming
+         OR lcs_len >= min_common_substring).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from kmcp_spark.config import PipelineConfig
+
+VERIFIED_SCHEMA_EXTRA = ", lcs_len int"
+
+
+def suffix_array_lcs(a: str, b: str) -> int:
+    """Length of the longest common substring of a and b.
+
+    Suffix array over ``a + SEP + b`` built by prefix doubling with numpy
+    argsort (O(n log^2 n)), LCP via Kasai's algorithm, answer = max LCP
+    between lexicographically adjacent suffixes from different halves.
+    """
+    if not a or not b:
+        return 0
+    s = a + "\x00" + b
+    n = len(s)
+    boundary = len(a)  # index of SEP
+    rank = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    rank = np.unique(rank, return_inverse=True)[1]
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        prev = (rank[order], key2[order])
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = (prev[0][1:] != prev[0][:-1]) | (prev[1][1:] != prev[1][:-1])
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    # Kasai LCP: lcp[i] = LCP(sa[i], sa[i-1])
+    inv = np.empty(n, dtype=np.int64)
+    inv[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        if inv[i] > 0:
+            j = sa[inv[i] - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h] and s[i + h] != "\x00":
+                h += 1
+            lcp[inv[i]] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    best = 0
+    for i in range(1, n):
+        x, y = sa[i], sa[i - 1]
+        if (x < boundary) != (y < boundary):
+            if lcp[i] > best:
+                best = int(lcp[i])
+    return best
+
+
+def score_pairs(pairs: DataFrame, sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """pairs(a,b,shared_bands) ⨝ sketches x2 -> scored pairs (JVM-only).
+
+    Two shuffle joins on clip_id (sketches are pre-partitioned by the
+    caller so both joins reuse one exchange).
+    """
+    sk = sketches.select(
+        F.col("clip_id"),
+        F.col("codes_text"),
+        F.col("codes_audio"),
+        F.col("minhash"),
+        F.col("simhash"),
+        F.col("size"),
+        F.col("n_text"),
+        F.col("n_audio"),
+    )
+    a = sk.alias("ska")
+    b = sk.alias("skb")
+    j = (
+        pairs.join(a, pairs["a"] == F.col("ska.clip_id"))
+        .join(b, pairs["b"] == F.col("skb.clip_id"))
+    )
+    it = F.size(F.array_intersect(F.col("ska.codes_text"), F.col("skb.codes_text")))
+    ia = F.size(F.array_intersect(F.col("ska.codes_audio"), F.col("skb.codes_audio")))
+    inter = it + ia  # domains are hash-disjoint: combined ∩ adds up
+    sz_a, sz_b = F.col("ska.size"), F.col("skb.size")
+    nt_a, nt_b = F.col("ska.n_text"), F.col("skb.n_text")
+    na_a, na_b = F.col("ska.n_audio"), F.col("skb.n_audio")
+    est_j = F.aggregate(
+        F.zip_with("ska.minhash", "skb.minhash", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("ska.minhash")
+    return j.select(
+        F.col("a"),
+        F.col("b"),
+        F.col("shared_bands"),
+        inter.alias("n_common"),
+        (inter / F.least(sz_a, sz_b)).alias("containment"),
+        (inter / F.greatest(sz_a, sz_b)).alias("tcov"),
+        (inter / (sz_a + sz_b - inter)).alias("jaccard"),
+        (it / F.greatest(nt_a + nt_b - it, F.lit(1))).alias("text_jaccard"),
+        (ia / F.greatest(na_a + na_b - ia, F.lit(1))).alias("audio_jaccard"),
+        F.least(na_a, na_b).alias("min_n_audio"),
+        F.least(nt_a, nt_b).alias("min_n_text"),
+        est_j.alias("est_jaccard"),
+        F.bit_count(F.col("ska.simhash").bitwiseXOR(F.col("skb.simhash"))).alias(
+            "simhash_hamming"
+        ),
+    )
+
+
+def verify_pairs(
+    scored: DataFrame, clips: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Threshold + suffix-array verification -> verified dup pairs.
+
+    The cheap JVM filters run first so the Python LCS stage sees only
+    plausible pairs (predicate ordering = kmcp's filter-before-parse
+    pushdown, `kmcp/cmd/util-profile.go:105-133`).
+    """
+    v = cfg.verify
+    domain_path = (
+        # one modality is (near-)identical and substantial: T4 (same
+        # audio, edited transcript) or T2/T3 (same transcript)
+        (
+            (F.col("audio_jaccard") >= v.min_domain_jaccard)
+            & (F.col("min_n_audio") >= v.min_domain_size)
+        )
+        | (
+            (F.col("text_jaccard") >= v.min_domain_jaccard)
+            & (F.col("min_n_text") >= v.min_domain_size)
+        )
+    )
+    plausible = scored.filter(
+        (F.col("shared_bands") >= v.min_shared_bands)
+        & ((F.col("containment") >= v.min_containment) | domain_path)
+    )
+    tr = clips.select("clip_id", "transcript")
+    withl = (
+        plausible.join(tr.withColumnRenamed("clip_id", "a").withColumnRenamed("transcript", "ta"), "a")
+        .join(tr.withColumnRenamed("clip_id", "b").withColumnRenamed("transcript", "tb"), "b")
+    )
+
+    out_schema = (
+        "a string, b string, shared_bands bigint, n_common int, containment double, "
+        "tcov double, jaccard double, text_jaccard double, audio_jaccard double, "
+        "min_n_audio bigint, min_n_text bigint, "
+        "est_jaccard double, simhash_hamming int, lcs_len int"
+    )
+
+    def lcs_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lcs = np.fromiter(
+                (suffix_array_lcs(x, y) for x, y in zip(pdf["ta"], pdf["tb"])),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            out = pdf.drop(columns=["ta", "tb"]).copy()
+            out["lcs_len"] = lcs
+            yield out
+
+    verified = withl.mapInPandas(lcs_stage, schema=out_schema)
+    return verified.filter(
+        (F.col("simhash_hamming") <= v.max_simhash_hamming)
+        | (F.col("lcs_len") >= v.min_common_substring)
+        | (
+            (F.col("audio_jaccard") >= v.min_domain_jaccard)
+            & (F.col("min_n_audio") >= v.min_domain_size)
+        )
+    )

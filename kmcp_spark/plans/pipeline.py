@@ -1,0 +1,165 @@
+"""End-to-end dedup pipeline: clips -> sketches -> buckets -> candidates
+-> verified pairs -> clusters, with per-stage checkpoints + metrics.
+
+Stage layout mirrors the reference's subcommand DAG
+(compute → index → search → profile, SURVEY.md §3) with each stage a
+durable checkpoint table keyed by the config fingerprint, so any stage
+is resumable (north rule).  Metrics rows (stage, rows_in, rows_out,
+wall_ms, fingerprint) are appended per stage — the resumability /
+lineage bookkeeping analog of kmcp's `_info.txt` cache and search-log
+stats (`kmcp/cmd/compute.go:450-458`, `kmcp/cmd/search.go:1011-1025`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kmcp_spark.config import PipelineConfig
+from kmcp_spark.operators.cluster import cluster_report, connected_components
+from kmcp_spark.operators.lsh import band_buckets, bucket_stats, candidate_pairs
+from kmcp_spark.operators.sketch import sketch_clips
+from kmcp_spark.operators.verify import score_pairs, verify_pairs
+from kmcp_spark.sources.tables import (
+    checkpoint_valid,
+    read_checkpoint,
+    write_checkpoint,
+)
+
+
+@dataclass
+class StageMetric:
+    stage: str
+    rows_out: int
+    wall_ms: int
+    resumed: bool
+
+
+@dataclass
+class PipelineResult:
+    """Handles to the stage checkpoint tables.
+
+    NOTE: these DataFrames are lazy readers over the checkpoint paths —
+    a subsequent ``run()`` into the same ``out_dir`` with a *different*
+    config fingerprint overwrites those paths and invalidates earlier
+    handles.  Materialize (``.toPandas()``/``.count()``/re-write) before
+    re-running with a new config.
+    """
+
+    clusters: DataFrame
+    verified: DataFrame
+    metrics: list[StageMetric] = field(default_factory=list)
+
+
+class DedupPipeline:
+    """Runs the staged plan; every stage skips itself when its checkpoint
+    carries the current config fingerprint (resume-from-checkpoint)."""
+
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig, out_dir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.fp = cfg.fingerprint()
+        self.metrics: list[StageMetric] = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _stage(
+        self,
+        name: str,
+        build,
+        partition_by: list[str] | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        path = os.path.join(self.out_dir, name)
+        t0 = time.time()
+        if not force and checkpoint_valid(path, self.fp):
+            df = read_checkpoint(self.spark, path)
+            self.metrics.append(StageMetric(name, -1, int((time.time() - t0) * 1000), True))
+            return df
+        df = build()
+        write_checkpoint(df, path, self.fp, partition_by)
+        out = read_checkpoint(self.spark, path)
+        n = out.count()
+        self.metrics.append(StageMetric(name, n, int((time.time() - t0) * 1000), False))
+        return out
+
+    def run(self, clips: DataFrame, force: bool = False) -> PipelineResult:
+        cfg = self.cfg
+
+        sketches = self._stage("sketches", lambda: sketch_clips(clips, cfg), force=force)
+
+        # exact-duplicate short-circuit (T0 / byte-identical): one JVM
+        # hash-agg, removes degenerate full-duplicate classes before LSH
+        # (keeps bucket sizes bounded — see lsh.candidate_pairs skew note)
+        buckets = self._stage(
+            "buckets",
+            lambda: band_buckets(sketches, cfg.lsh.bands, cfg.lsh.rows_per_band),
+            partition_by=["band_id"],
+            force=force,
+        )
+
+        def build_pairs():
+            pairs, oversized = candidate_pairs(buckets, cfg.lsh.max_bucket)
+            n_over = oversized.count()
+            if n_over:
+                # no silent caps: record exactly what was not expanded
+                with open(os.path.join(self.out_dir, "oversized_buckets.json"), "w") as f:
+                    json.dump({"n_oversized_buckets": n_over, "max_bucket": cfg.lsh.max_bucket}, f)
+            return pairs
+
+        candidates = self._stage("candidates", build_pairs, force=force)
+
+        def build_verified():
+            scored = score_pairs(candidates, sketches, cfg)
+            return verify_pairs(scored, clips, cfg)
+
+        verified = self._stage("verified", build_verified, force=force)
+
+        def build_clusters():
+            labels = connected_components(
+                verified,
+                all_nodes=sketches.select("clip_id"),
+                max_iters=cfg.cc_max_iters,
+                checkpoint_every=cfg.cc_checkpoint_every,
+            )
+            return cluster_report(labels)
+
+        clusters = self._stage("clusters", build_clusters, force=force)
+
+        # bucket-size histogram = `utils index-density` analog, for ops
+        self._stage("bucket_histogram", lambda: bucket_stats(buckets), force=force)
+
+        self._write_metrics()
+        return PipelineResult(clusters=clusters, verified=verified, metrics=self.metrics)
+
+    def _write_metrics(self) -> None:
+        rows = [
+            {
+                "stage": m.stage,
+                "rows_out": m.rows_out,
+                "wall_ms": m.wall_ms,
+                "resumed": m.resumed,
+                "fingerprint": self.fp,
+                "ts": time.time(),
+            }
+            for m in self.metrics
+        ]
+        with open(os.path.join(self.out_dir, "metrics.jsonl"), "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+def dup_pairs_from_clusters(clusters: DataFrame) -> DataFrame:
+    """clusters -> all intra-cluster pairs (a<b), for recall scoring."""
+    m = clusters.filter(F.col("cluster_size") > 1).select("clip_id", "cluster_id")
+    a = m.alias("x")
+    b = m.alias("y")
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("x.clip_id") < F.col("y.clip_id"))
+        .select(F.col("x.clip_id").alias("a"), F.col("y.clip_id").alias("b"))
+    )

@@ -1,0 +1,62 @@
+"""Checkpoint-table IO and testdata loading.
+
+Checkpoint tables are the resumability backbone (the analog of kmcp's
+file boundaries between compute / index / search / profile: each
+subcommand's output is a durable artifact the next stage can restart
+from).  Target deployments write Iceberg; this environment has no
+Iceberg runtime jar, so the writer falls back to parquet directories
+with an atomic ``_FINGERPRINT`` marker carrying the config fingerprint —
+the same skip-if-valid semantics kmcp applies with its DB-compatibility
+checks (`kmcp/cmd/util-db-search.go:689-695`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def _marker(path: str) -> str:
+    return os.path.join(path, "_FINGERPRINT")
+
+
+def checkpoint_valid(path: str, fingerprint: str) -> bool:
+    try:
+        with open(_marker(path)) as f:
+            return json.load(f).get("fingerprint") == fingerprint
+    except (OSError, ValueError):
+        return False
+
+
+def write_checkpoint(
+    df: DataFrame, path: str, fingerprint: str, partition_by: list[str] | None = None
+) -> None:
+    """Write a stage output durably; the marker lands only on success."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    with open(_marker(path), "w") as f:
+        json.dump({"fingerprint": fingerprint, "written_at": time.time()}, f)
+
+
+def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
