@@ -1,38 +1,328 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the training-data-pipeline ops); ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for every SQL-expressible one.  Column
+names/aliases match exactly between both sides (driver hash-compares).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kmcp_spark.operators import dedup as D
+from kmcp_spark.operators import relational as R
+from kmcp_spark.operators import similarity as S
+from kmcp_spark.operators import text as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH near-dup detection over documents at sf0.001
+    (sketch → band join → exact verification — the full dedup path)."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return D.minhash_lsh_dup_pairs(docs, n=3, threshold=0.4)
 
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- dedup family (documents) ---
+        "dedup_exact": lambda sp, sf: D.exact_dup_groups(_t(sp, sf, "documents")),
+        "dedup_ngram_jaccard": lambda sp, sf: D.ngram_jaccard_pairs(
+            _t(sp, sf, "documents"), n=3, threshold=0.4
+        ),
+        "dedup_minhash_lsh": lambda sp, sf: D.minhash_lsh_dup_pairs(
+            _t(sp, sf, "documents"), n=3, threshold=0.4, high_recall=True
+        ),
+        "dedup_simhash": lambda sp, sf: D.simhash_dup_pairs(
+            _t(sp, sf, "documents"), n=3, max_hamming=8
+        ),
+        # --- text analysis (documents) ---
+        "text_token_stats": lambda sp, sf: T.token_stats(_t(sp, sf, "documents")),
+        "text_quality": lambda sp, sf: T.quality_score(_t(sp, sf, "documents")),
+        "text_lang_id": lambda sp, sf: T.lang_id(_t(sp, sf, "documents")),
+        "text_fingerprint": lambda sp, sf: T.doc_fingerprint(
+            _t(sp, sf, "documents"), k=16
+        ),
+        # --- similarity search (embeddings) ---
+        "ann_cosine_topk": lambda sp, sf: S.cosine_topk(
+            _t(sp, sf, "embeddings"), n_queries=10, k=5
+        ),
+        "embedding_dup_pairs": lambda sp, sf: S.cosine_dup_pairs(
+            _t(sp, sf, "embeddings"), threshold=0.35
+        ),
+        "ann_lsh_topk": lambda sp, sf: S.hyperplane_lsh_topk(
+            _t(sp, sf, "embeddings"), n_queries=10, k=5
+        ),
+        # --- relational analogs of SURVEY.md §2 (lineitem/orders/...) ---
+        "topn_per_group": lambda sp, sf: R.topn_per_group(_t(sp, sf, "lineitem"), 3),
+        "best_gap_filter": lambda sp, sf: R.best_gap_filter(_t(sp, sf, "lineitem"), 0.1),
+        "cooccurrence_pairs": lambda sp, sf: R.cooccurrence_pairs(
+            _t(sp, sf, "lineitem"), 2
+        ),
+        "percentile_score": lambda sp, sf: R.percentile_score(_t(sp, sf, "orders")),
+        "share_normalization": lambda sp, sf: R.share_normalization(
+            _t(sp, sf, "lineitem"), _t(sp, sf, "supplier"), _t(sp, sf, "nation")
+        ),
+        "hierarchy_rollup": lambda sp, sf: R.hierarchy_rollup(
+            _t(sp, sf, "orders"),
+            _t(sp, sf, "customer"),
+            _t(sp, sf, "nation"),
+            _t(sp, sf, "region"),
+        ),
+        "multi_shard_intersect": lambda sp, sf: R.multi_shard_intersect(
+            _t(sp, sf, "lineitem"), 3
+        ),
+        "merge_rerank": lambda sp, sf: R.merge_rerank(_t(sp, sf, "orders")),
+        "events_hourly": lambda sp, sf: R.events_hourly(_t(sp, sf, "events")),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_NGRAM_CTE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                               for i in range(1, len(ws) - 1)])) AS gram
+  FROM w WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+  FROM g l JOIN g r USING (gram)
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+
+def _qcos(x: str, y: str) -> str:
+    """Inline DuckDB expression for the quantized cosine (see
+    kmcp_spark.operators.similarity.quantized_cosine): components are
+    rounded to integers at 1e6 scale, so every product/partial sum is
+    exactly representable in a double (< 2^53) and the result is
+    bit-identical to Spark's long-sum fold."""
+    q = lambda v: f"[round(CAST(u AS DOUBLE) * 1000000.0) for u in {v}]"
+    return (
+        f"(list_dot_product({q(x)}, {q(y)}) / "
+        f"sqrt(list_dot_product({q(x)}, {q(x)}) * list_dot_product({q(y)}, {q(y)})))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": _NGRAM_CTE
+        + """
+            SELECT a, b, n_common,
+                   n_common / (sa.n_grams + sb.n_grams - n_common) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE n_common / (sa.n_grams + sb.n_grams - n_common) >= 0.4
+        """,
+        "dedup_minhash_lsh": _NGRAM_CTE
+        + """
+            SELECT a, b, n_common,
+                   n_common / (sa.n_grams + sb.n_grams - n_common) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE n_common / (sa.n_grams + sb.n_grams - n_common) >= 0.4
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars_actual,
+                   CAST(list_sum([length(t) for t in
+                        regexp_split_to_array(trim(text), '\\s+')]) AS DOUBLE)
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                     AS mean_token_len
+            FROM documents
+        """,
+        "text_quality": """
+            WITH f AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       * 1.0 / greatest(length(text), 1) AS alpha_ratio,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       * 1.0 / greatest(length(text), 1) AS digit_ratio
+              FROM documents
+            ), g AS (
+              SELECT doc_id, alpha_ratio, digit_ratio,
+                     len([t for t in toks if list_contains(
+                        ['the','and','of','to','in','is','that','it','for','with'],
+                        lower(t))]) * 1.0 / greatest(len(toks), 1) AS stopword_ratio,
+                     list_sum([length(t) for t in toks]) * 1.0
+                       / greatest(len(toks), 1) AS mean_word_len
+              FROM f
+            )
+            SELECT doc_id,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(digit_ratio, 6) AS digit_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(0.4 * alpha_ratio + 0.3 * stopword_ratio
+                         + 0.3 * (1.0 - least(abs(mean_word_len - 5.0) / 5.0, 1.0))
+                         - 0.5 * digit_ratio, 6) AS quality
+            FROM g
+        """,
+        "text_lang_id": _langid_sql(),
+        "text_fingerprint": """
+            WITH g AS (
+              SELECT doc_id,
+                     [md5(substr(text, i, 16))
+                      for i in range(1, greatest(length(text) - 15, 1) + 1)] AS fps
+              FROM documents
+            )
+            SELECT doc_id, list_min(fps) AS fp_min, list_max(fps) AS fp_max FROM g
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ), sim AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round({_qcos('q.q_emb', 'e.embedding')}, 5) AS cosine
+              FROM q, embeddings e WHERE e.vec_id != q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM sim
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_dup_pairs": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({_qcos('a.embedding', 'b.embedding')}, 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round({_qcos('a.embedding', 'b.embedding')}, 6) >= 0.35
+        """,
+        "topn_per_group": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(price_rank AS INT) AS price_rank
+            FROM (
+              SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     dense_rank() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_extendedprice DESC) AS price_rank
+              FROM lineitem
+            ) WHERE price_rank <= 3
+        """,
+        "best_gap_filter": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, best_price
+            FROM (
+              SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS best_price
+              FROM lineitem
+            ) WHERE l_extendedprice >= best_price * 0.9
+        """,
+        "cooccurrence_pairs": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT x.l_partkey AS p1, y.l_partkey AS p2, count(*) AS n_orders
+            FROM li x JOIN li y USING (l_orderkey)
+            WHERE x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "percentile_score": """
+            SELECT o_custkey,
+                   round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90_total,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1 HAVING count(*) >= 3
+        """,
+        "share_normalization": """
+            WITH rev AS (
+              SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY 1
+            )
+            SELECT n_name, round(revenue, 2) AS revenue,
+                   round(revenue / sum(revenue) OVER () * 100.0, 6) AS pct
+            FROM rev
+        """,
+        "hierarchy_rollup": """
+            SELECT r_name, round(sum(o_totalprice), 2) AS total,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "multi_shard_intersect": """
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 3
+        """,
+        "merge_rerank": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders
+            ) WHERE rnk <= 2
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, round(avg(value), 6) AS mean_value
+            FROM events GROUP BY 1, 2
+        """,
+        # dedup_simhash / ann_lsh_topk: signature-dependent, not
+        # SQL-expressible — rows-only checks by design.
+    }
+
+
+def _langid_sql() -> str:
+    from kmcp_spark.operators.text import LANG_MARKERS
+
+    parts = ["SELECT doc_id"]
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        parts.append(
+            f", round(len([t for t in toks if list_contains([{lst}], t)]) * 1.0"
+            f" / greatest(len(toks), 1), 6) AS score_{lang}"
+        )
+    sql = (
+        "WITH w AS (SELECT doc_id,"
+        " regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),"
+        " s AS (" + "".join(parts) + " FROM w) SELECT doc_id, "
+        + ", ".join(f"score_{lg}" for lg in langs)
+        + ", CASE "
+    )
+    # argmax with first-seen-language tie-break (strictly-greater chain,
+    # mirroring the Spark fold in lang_id)
+    conds = []
+    for i, lang in enumerate(langs):
+        others_before = [f"score_{lg}" for lg in langs[:i]]
+        others_after = [f"score_{lg}" for lg in langs[i + 1 :]]
+        # winner = earliest lang attaining the max: strictly greater than
+        # every earlier lang, >= every later lang
+        cond = " AND ".join(
+            [f"score_{lang} > {o}" for o in others_before]
+            + [f"score_{lang} >= {o}" for o in others_after]
+        ) or "TRUE"
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    sql += " ".join(conds) + " END AS pred_lang FROM s"
+    return sql

@@ -1,0 +1,214 @@
+"""Document-table dedup operators (the training-data-pipeline family).
+
+These run over a generic ``documents(doc_id, text, ...)`` table — the
+same algorithms the clip pipeline uses, re-expressed over text-only
+rows and (where possible) in pure JVM DataFrame ops so a SQL oracle can
+reproduce them exactly:
+
+  - exact dedup: md5(text) hash-groupBy (one shuffle, partial agg).
+  - n-gram Jaccard pairs: explode distinct word n-grams → self-join on
+    gram → pair-count agg → Jaccard from per-doc gram counts.  This is
+    the exact-verification shape (kmcp's qCov/Jaccard scoring,
+    `kmcp/cmd/util-db-search.go:90-92`) without the sketch.
+  - MinHash-LSH pairs: pandas-UDF signatures → band join (candidate
+    generation) → exact re-verification of candidates — the full
+    sketch → index-probe → verify path of the clip pipeline, over text.
+  - SimHash pairs: 64-bit fingerprints, Hamming filter over LSH
+    candidates.
+
+Scale notes: every join here keys on either a gram hash or a band
+hash; both distribute.  The n-gram self-join caps hot grams (stopword
+shingles) exactly like lsh.candidate_pairs caps hot buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from kmcp_spark.functions.minhash import minhash_signatures
+from kmcp_spark.functions.shingle import word_ngram_hashes_batch
+from kmcp_spark.functions.simhash import simhash64
+
+
+def exact_dup_groups(docs: DataFrame, only_dups: bool = False) -> DataFrame:
+    """Byte-identical text groups: (text_hash, n_docs, min_doc_id).
+
+    ``only_dups`` keeps groups with >1 member; the default returns every
+    group (the full dedup hash table — dedup = keep row where
+    doc_id == min_doc_id of its group)."""
+    g = docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+    return g.filter(F.col("n_docs") > 1) if only_dups else g
+
+
+def word_ngrams_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gram) rows: distinct space-joined word n-grams, JVM-only.
+
+    Built from ``split`` + ``sequence`` + ``transform`` + ``explode`` so
+    DuckDB can mirror it with a list comprehension — no UDF, and the
+    gram text (not a private hash) is the join key.
+    """
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.4, max_gram_docs: int = 10_000
+) -> DataFrame:
+    """Exact word-n-gram Jaccard >= threshold pairs, all JVM-side.
+
+    Hot grams appearing in more than ``max_gram_docs`` docs are excluded
+    from pair expansion (documented skew cap; at n>=3 real corpora only
+    degenerate boilerplate crosses it, and such pairs surface through
+    their other grams).
+    """
+    g = word_ngrams_df(docs, n)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    gram_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    g_ok = g.join(gram_freq.filter(F.col("df") <= max_gram_docs), "gram")
+    pairs = (
+        g_ok.alias("l")
+        .join(g_ok.alias("r"), "gram")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_grams", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_grams", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_SIG_SCHEMA = "doc_id bigint, minhash array<bigint>, simhash bigint, n_grams bigint"
+
+
+def doc_signatures(
+    docs: DataFrame, n: int = 3, num_perm: int = 128, master_seed: int = 42
+) -> DataFrame:
+    """MinHash + SimHash signatures over word n-grams (Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sets = word_ngram_hashes_batch(pdf["text"], n)
+            sig = minhash_signatures(sets, num_perm, master_seed)
+            sh = simhash64(sets)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "minhash": list(sig.view(np.int64)),
+                    "simhash": sh.view(np.int64),
+                    "n_grams": np.fromiter(
+                        (len(s) for s in sets), dtype=np.int64, count=len(sets)
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=_SIG_SCHEMA)
+
+
+def lsh_candidates(
+    signatures: DataFrame, bands: int, rows_per_band: int, max_bucket: int = 10_000
+) -> DataFrame:
+    """Band-join candidate pairs (a, b, shared_bands) from signatures."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    freq = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("sz"))
+    ok = buckets.join(
+        freq.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)),
+        ["band_id", "band_hash"],
+    )
+    return (
+        ok.alias("l")
+        .join(ok.alias("r"), ["band_id", "band_hash"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+def minhash_lsh_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 128,
+    threshold: float = 0.4,
+    high_recall: bool = True,
+) -> DataFrame:
+    """MinHash-LSH candidates re-verified with exact n-gram Jaccard.
+
+    ``high_recall=True`` uses r=1 banding (a pair collides if ANY of the
+    ``num_perm`` minima agree): miss probability (1-s)^num_perm, i.e.
+    < 1e-38 at s=0.5, num_perm=128 — effectively exhaustive, so the
+    result equals the exact-Jaccard pair set and a SQL oracle can check
+    it.  ``high_recall=False`` uses classic 32x4 banding (the
+    production configuration; probabilistic recall 1-(1-s^4)^32).
+    """
+    sigs = doc_signatures(docs, n=n, num_perm=num_perm)
+    if high_recall:
+        cand = lsh_candidates(sigs, bands=num_perm, rows_per_band=1)
+    else:
+        cand = lsh_candidates(sigs, bands=num_perm // 4, rows_per_band=4)
+    # exact verification of candidates only: join candidate pairs into
+    # the exact gram-Jaccard computation (semi-join pushes selectivity)
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    return cand.join(exact, ["a", "b"]).select(
+        "a", "b", "n_common", "jaccard"
+    )
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 128,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Pairs whose SimHash fingerprints are within ``max_hamming`` bits,
+    screened through LSH candidates (avoids the all-pairs cross join)."""
+    sigs = doc_signatures(docs, n=n, num_perm=num_perm)
+    cand = lsh_candidates(sigs, bands=num_perm, rows_per_band=1)
+    s = sigs.select("doc_id", "simhash")
+    return (
+        cand.join(s.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash", "sh_a"), "a")
+        .join(s.withColumnRenamed("doc_id", "b").withColumnRenamed("simhash", "sh_b"), "b")
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
