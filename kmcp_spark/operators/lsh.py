@@ -71,22 +71,19 @@ def candidate_pairs(
     with 1 < size <= max_bucket.  ``shared_bands`` counts how many bands
     voted for the pair (the analog of kmcp's per-target match count A2).
     """
-    sized = buckets.withColumn(
-        "bucket_size",
-        F.count("*").over(Window.partitionBy("band_id", "band_hash")),
-    )
-    ok = sized.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket)).select(
-        "band_id", "band_hash", "clip_id"
-    )
-    oversized = (
-        sized.filter(F.col("bucket_size") > max_bucket)
-        .groupBy("band_id", "band_hash")
-        .agg(F.max("bucket_size").alias("bucket_size"))
-    )
-    left = ok.alias("l")
-    right = ok.alias("r")
+    # bucket sizes via ONE hash aggregation (a window over the full
+    # bucket table would recompute per consumer); the sizes relation is
+    # small (#distinct buckets) → broadcast back onto buckets
+    sizes = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
+    ok_keys = sizes.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket))
+    oversized = sizes.filter(F.col("bucket_size") > max_bucket)
+    # no broadcast hint: AQE broadcasts when small; at 10^12-row scale the
+    # dup-bucket key set can exceed driver memory, so the shuffle join on
+    # the same key (no extra exchange for `pairs` below) must stay legal
+    ok = buckets.join(ok_keys.select("band_id", "band_hash"), ["band_id", "band_hash"])
     pairs = (
-        left.join(right, ["band_id", "band_hash"])
+        ok.alias("l")
+        .join(ok.alias("r"), ["band_id", "band_hash"])
         .filter(F.col("l.clip_id") < F.col("r.clip_id"))
         .select(F.col("l.clip_id").alias("a"), F.col("r.clip_id").alias("b"))
         .groupBy("a", "b")

@@ -87,7 +87,9 @@ class DedupPipeline:
         self.metrics.append(StageMetric(name, n, int((time.time() - t0) * 1000), False))
         return out
 
-    def run(self, clips: DataFrame, force: bool = False) -> PipelineResult:
+    def run(
+        self, clips: DataFrame, force: bool = False, diagnostics: bool = False
+    ) -> PipelineResult:
         cfg = self.cfg
 
         sketches = self._stage("sketches", lambda: sketch_clips(clips, cfg), force=force)
@@ -95,10 +97,12 @@ class DedupPipeline:
         # exact-duplicate short-circuit (T0 / byte-identical): one JVM
         # hash-agg, removes degenerate full-duplicate classes before LSH
         # (keeps bucket sizes bounded — see lsh.candidate_pairs skew note)
+        # NOTE: no partitionBy("band_id") on the checkpoint — downstream
+        # consumes all bands, and a partitioned write multiplies file
+        # count by the band fan-out (observed 12x slowdown at local[32])
         buckets = self._stage(
             "buckets",
             lambda: band_buckets(sketches, cfg.lsh.bands, cfg.lsh.rows_per_band),
-            partition_by=["band_id"],
             force=force,
         )
 
@@ -130,8 +134,9 @@ class DedupPipeline:
 
         clusters = self._stage("clusters", build_clusters, force=force)
 
-        # bucket-size histogram = `utils index-density` analog, for ops
-        self._stage("bucket_histogram", lambda: bucket_stats(buckets), force=force)
+        if diagnostics:
+            # bucket-size histogram = `utils index-density` analog
+            self._stage("bucket_histogram", lambda: bucket_stats(buckets), force=force)
 
         self._write_metrics()
         return PipelineResult(clusters=clusters, verified=verified, metrics=self.metrics)
