@@ -83,7 +83,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "merge_rerank": lambda sp, sf: R.merge_rerank(_t(sp, sf, "orders")),
         "events_hourly": lambda sp, sf: R.events_hourly(_t(sp, sf, "events")),
+        "events_sessionize": lambda sp, sf: R.events_sessionize(
+            _t(sp, sf, "events"), 30
+        ),
+        "events_user_stats": lambda sp, sf: R.events_user_stats(
+            _t(sp, sf, "events")
+        ),
+        "dedup_containment": lambda sp, sf: D.ngram_containment_pairs(
+            _t(sp, sf, "documents"), n=3, threshold=0.6
+        ),
+        # --- the clip pipeline itself, driven on a deterministic
+        # synthetic corpus (input_hint schema); non-SQL-expressible ->
+        # rows-only checks by design ---
+        "clips_sketch_stats": _clips_sketch_stats,
+        "clips_dup_pairs": _clips_dup_pairs,
     }
+
+
+def _clips_corpus(spark: SparkSession, n: int = 120):
+    from kmcp_spark.corpus import generate_clips
+
+    clips, truth = generate_clips(spark, n, min_dur_s=0.5, max_dur_s=1.2)
+    return clips, truth
+
+
+def _clips_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-stage output profile on the deterministic 120-clip corpus
+    (audio decode -> spectral shingles -> MinHash/SimHash)."""
+    from pyspark.sql import functions as F
+
+    from kmcp_spark.config import PipelineConfig
+    from kmcp_spark.operators.sketch import sketch_clips
+
+    clips, _ = _clips_corpus(spark)
+    sk = sketch_clips(clips, PipelineConfig())
+    return sk.select(
+        "clip_id", "size", "n_text", "n_audio", "decode_ok"
+    ).orderBy("clip_id")
+
+
+def _clips_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Full dedup path (sketch -> LSH -> verify) on the 120-clip corpus."""
+    from pyspark.sql import functions as F
+
+    from kmcp_spark.config import PipelineConfig
+    from kmcp_spark.operators.lsh import band_buckets, candidate_pairs
+    from kmcp_spark.operators.sketch import sketch_clips
+    from kmcp_spark.operators.verify import score_pairs, verify_pairs
+
+    cfg = PipelineConfig()
+    clips, _ = _clips_corpus(spark)
+    clips = clips.localCheckpoint(eager=True)
+    sk = sketch_clips(clips, cfg).localCheckpoint(eager=True)
+    pairs, _ = candidate_pairs(
+        band_buckets(sk, cfg.lsh.bands, cfg.lsh.rows_per_band), cfg.lsh.max_bucket
+    )
+    verified = verify_pairs(score_pairs(pairs, sk, cfg), clips, cfg)
+    return verified.select("a", "b", "shared_bands", "n_common", "lcs_len").orderBy(
+        "a", "b"
+    )
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -285,11 +343,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n_events, round(avg(value), 6) AS mean_value
+                   count(*) AS n_events, round(sum(CAST(round(value * 1000000) AS BIGINT)) / count(*) / 1000000.0, 6) AS mean_value
             FROM events GROUP BY 1, 2
         """,
-        # dedup_simhash / ann_lsh_topk: signature-dependent, not
-        # SQL-expressible — rows-only checks by design.
+        "events_sessionize": """
+            WITH s AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), t AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS session_id
+              FROM s
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS total_value
+            FROM t GROUP BY 1, 2
+        """,
+        "events_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(sum(CAST(round(value * 1000000) AS BIGINT)) / count(*) / 1000000.0, 6) AS mean_value
+            FROM events GROUP BY 1
+        """,
+        "dedup_containment": _NGRAM_CTE
+        + """
+            SELECT a, b, n_common,
+                   n_common / least(sa.n_grams, sb.n_grams) AS containment
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE n_common / least(sa.n_grams, sb.n_grams) >= 0.6
+        """,
+        # dedup_simhash / ann_lsh_topk / clips_*: signature- or
+        # pipeline-dependent, not SQL-expressible — rows-only by design.
     }
 
 

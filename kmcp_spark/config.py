@@ -30,6 +30,11 @@ class SketchConfig:
     quant_levels: int = 8
     num_perm: int = 128       # MinHash signature length
     scale: int = 1            # FracMinHash down-sampling (1 = keep all)
+    # audio shingle selection scheme: "full" | "minimizer" | "syncmer"
+    # (kmcp's sketch families, `kmcp/cmd/compute.go:746-803`)
+    audio_select: str = "full"
+    minimizer_w: int = 8
+    syncmer_s: int = 5
     master_seed: int = 42
 
 

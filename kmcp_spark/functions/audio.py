@@ -111,13 +111,35 @@ def spectral_tokens(
 
 
 def spectral_shingle_hashes(
-    pcm: np.ndarray, sr_hz: int, ngram: int = 4, **tok_kwargs
+    pcm: np.ndarray,
+    sr_hz: int,
+    ngram: int = 4,
+    select: str = "full",
+    minimizer_w: int = 8,
+    syncmer_s: int = 5,
+    **tok_kwargs,
 ) -> np.ndarray:
-    """PCM -> sorted distinct hashes of token n-grams (the audio shingle set)."""
+    """PCM -> sorted distinct hashes of token n-grams (the audio shingle set).
+
+    ``select`` picks the down-sampling scheme over the positional n-gram
+    hash stream, mirroring kmcp's sketch families
+    (`kmcp/cmd/compute.go:746-803`): "full" keeps every n-gram,
+    "minimizer" keeps window minima (Roberts 2004), "syncmer" keeps
+    closed syncmers (Edgar 2021).
+    """
     tok = spectral_tokens(pcm, sr_hz, **tok_kwargs)
     if tok.shape[0] < ngram:
         return np.empty(0, dtype=_U64)
-    return np.unique(hash_bytes_rolling(tok, ngram))
+    h = hash_bytes_rolling(tok, ngram)  # positional stream
+    if select == "minimizer":
+        from kmcp_spark.functions.minhash import minimizer_sketch
+
+        return minimizer_sketch(h, minimizer_w)
+    if select == "syncmer":
+        from kmcp_spark.functions.minhash import syncmer_sketch
+
+        return syncmer_sketch(h, syncmer_s)
+    return np.unique(h)
 
 
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:

@@ -212,3 +212,31 @@ def simhash_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6, max_gram_docs: int = 10_000
+) -> DataFrame:
+    """Containment (qCov analog, `kmcp/cmd/util-db-search.go:90-92`):
+    |A∩B| / min(|A|,|B|) >= threshold — catches truncation/subset dups
+    that plain Jaccard misses (detection path T3 in FIXTURES.md)."""
+    g = word_ngrams_df(docs, n)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    gram_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    g_ok = g.join(gram_freq.filter(F.col("df") <= max_gram_docs), "gram")
+    pairs = (
+        g_ok.alias("l")
+        .join(g_ok.alias("r"), "gram")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_grams", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_grams", "nb"), "b")
+        .select(
+            "a", "b", "n_common",
+            (F.col("n_common") / F.least("na", "nb")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

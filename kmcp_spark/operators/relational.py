@@ -130,6 +130,17 @@ def merge_rerank(orders: DataFrame) -> DataFrame:
     )
 
 
+def _qsum(col, digits: int = 6):
+    """Exact cross-engine sum: quantize to ints at 1e6, sum as long,
+    divide back — float fold order can flip round() at boundaries."""
+    q = F.sum(F.round(col * 1_000_000).cast("long"))
+    return q
+
+
+def _qmean(col, digits: int = 6):
+    return F.round(_qsum(col) / F.count("*") / 1_000_000.0, digits)
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """S9/A6 analog over the event stream table: per-type hourly counts +
     mean value (batch windowed aggregation; the streaming variant lives
@@ -141,6 +152,40 @@ def events_hourly(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("mean_value"),
+            _qmean(F.col("value")).alias("mean_value"),
         )
+    )
+
+
+def events_sessionize(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Sessionization (batch form of the streaming session-window op):
+    a new session starts when a user's inter-event gap exceeds
+    ``gap_min`` minutes.  lag + conditional cumsum over an ordered
+    window — the standard SQL-reproducible formulation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; cast via timestamp (session tz = UTC) -> epoch
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_min * 60), 1).otherwise(0)
+    sess = (
+        events.select("user_id", "event_id", "ts", "value")
+        .withColumn("new_sess", is_new)
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(_qsum(F.col("value")) / 1_000_000.0, 6).alias("total_value"),
+    )
+
+
+def events_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user activity profile: exact distinct types, counts, extremes."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        _qmean(F.col("value")).alias("mean_value"),
     )

@@ -74,6 +74,9 @@ def _domain_shingles(
                 pcm,
                 int(srs[i]),
                 ngram=sk.audio_ngram,
+                select=sk.audio_select,
+                minimizer_w=sk.minimizer_w,
+                syncmer_s=sk.syncmer_s,
                 frame_ms=sk.frame_ms,
                 hop_ms=sk.hop_ms,
                 n_bands=sk.n_bands,
