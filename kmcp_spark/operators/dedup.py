@@ -74,10 +74,7 @@ def ngram_jaccard_pairs(
     degenerate boilerplate crosses it, and such pairs surface through
     their other grams).
     """
-    g = word_ngrams_df(docs, n)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    gram_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
-    g_ok = g.join(gram_freq.filter(F.col("df") <= max_gram_docs), "gram")
+    g, sizes, g_ok = _gram_tables(docs, n, max_gram_docs)
     pairs = (
         g_ok.alias("l")
         .join(g_ok.alias("r"), "gram")
@@ -98,6 +95,23 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _gram_tables(docs: DataFrame, n: int, max_gram_docs: int):
+    """Shared, persisted gram relation: Catalyst does not deduplicate
+    common subplans, so without this the (doc_id, gram) explosion is
+    recomputed for every consumer — observed 6 full scans of the input
+    in one query plan.  MEMORY_AND_DISK persist keeps it to one scan;
+    Spark's LRU eviction reclaims it."""
+    from pyspark import StorageLevel
+
+    g = word_ngrams_df(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    gram_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    g_ok = g.join(
+        gram_freq.filter(F.col("df") <= max_gram_docs).select("gram"), "gram"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return g, sizes, g_ok
 
 
 _SIG_SCHEMA = "doc_id bigint, minhash array<bigint>, simhash bigint, n_grams bigint"
@@ -145,9 +159,13 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    buckets = signatures.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    from pyspark import StorageLevel
+
+    buckets = (
+        signatures.select("doc_id", F.explode(band_structs).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # consumed 3x below
+    )
     freq = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("sz"))
     ok = buckets.join(
         freq.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)),
@@ -220,10 +238,7 @@ def ngram_containment_pairs(
     """Containment (qCov analog, `kmcp/cmd/util-db-search.go:90-92`):
     |A∩B| / min(|A|,|B|) >= threshold — catches truncation/subset dups
     that plain Jaccard misses (detection path T3 in FIXTURES.md)."""
-    g = word_ngrams_df(docs, n)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    gram_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
-    g_ok = g.join(gram_freq.filter(F.col("df") <= max_gram_docs), "gram")
+    g, sizes, g_ok = _gram_tables(docs, n, max_gram_docs)
     pairs = (
         g_ok.alias("l")
         .join(g_ok.alias("r"), "gram")

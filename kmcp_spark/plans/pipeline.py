@@ -17,7 +17,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kmcp_spark.config import PipelineConfig
 from kmcp_spark.operators.cluster import cluster_report, connected_components
@@ -92,11 +92,33 @@ class DedupPipeline:
     ) -> PipelineResult:
         cfg = self.cfg
 
-        sketches = self._stage("sketches", lambda: sketch_clips(clips, cfg), force=force)
-
         # exact-duplicate short-circuit (T0 / byte-identical): one JVM
-        # hash-agg, removes degenerate full-duplicate classes before LSH
-        # (keeps bucket sizes bounded — see lsh.candidate_pairs skew note)
+        # hash-agg groups identical (bytes, transcript) rows; only one
+        # representative per group flows through decode/sketch/LSH.  At
+        # web scale exact dups are the dominant class — this removes
+        # their decode cost AND keeps LSH bucket sizes bounded (a class
+        # of 10^6 identical clips would otherwise pair-expand
+        # quadratically; this is the degenerate case the max_bucket cap
+        # would otherwise have to drop).
+        def build_exact():
+            w = Window.partitionBy("content_hash")
+            return (
+                clips.select(
+                    "clip_id",
+                    F.concat(F.md5("bytes"), F.md5("transcript")).alias("content_hash"),
+                )
+                .withColumn("rep_id", F.min("clip_id").over(w))
+                .select("clip_id", "rep_id")
+            )
+
+        exact = self._stage("exact_groups", build_exact, force=force)
+        reps = exact.filter(F.col("clip_id") == F.col("rep_id")).select("clip_id")
+        rep_clips = clips.join(reps, "clip_id", "left_semi")
+
+        sketches = self._stage(
+            "sketches", lambda: sketch_clips(rep_clips, cfg), force=force
+        )
+
         # NOTE: no partitionBy("band_id") on the checkpoint — downstream
         # consumes all bands, and a partitioned write multiplies file
         # count by the band fan-out (observed 12x slowdown at local[32])
@@ -124,13 +146,17 @@ class DedupPipeline:
         verified = self._stage("verified", build_verified, force=force)
 
         def build_clusters():
-            labels = connected_components(
+            labels_rep = connected_components(
                 verified,
                 all_nodes=sketches.select("clip_id"),
                 max_iters=cfg.cc_max_iters,
                 checkpoint_every=cfg.cc_checkpoint_every,
             )
-            return cluster_report(labels)
+            # expand representative labels back over their exact groups
+            full = exact.join(
+                labels_rep.withColumnRenamed("clip_id", "rep_id"), "rep_id"
+            ).select("clip_id", "cluster_id")
+            return cluster_report(full)
 
         clusters = self._stage("clusters", build_clusters, force=force)
 
