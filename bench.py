@@ -50,19 +50,11 @@ def pipeline_run(cores: int, corpus_path: str, out_dir: str) -> None:
     spark = get_spark(app=f"bench_pipe_{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     clips = spark.read.parquet(corpus_path)
     n = clips.count()
-    # warmup: one full pipeline pass so python workers exist, worker
-    # arenas + JVM heap pages are faulted in, and codegen is JIT-ed; the
-    # timed second pass measures steady-state throughput.  (This sandbox
-    # VM zeroes fresh pages at ~300 MB/s, so first-touch faults would
-    # otherwise dominate the 32-core leg; long-lived executors on a real
-    # cluster are always in the warm regime.)
-    warm_dir = out_dir + "_warm"
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    DedupPipeline(spark, PipelineConfig(), warm_dir).run(clips)
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    # min-of-2 timed runs: this sandbox's page-cache/zeroing behavior is
-    # unstable run-to-run (observed 2x swings); the minimum is the
-    # reproducible steady-state figure
+    # two full passes: the first doubles as warmup (python workers spawn,
+    # worker arenas + JVM heap pages fault in — this sandbox VM zeroes
+    # fresh pages at ~300 MB/s so cold runs are dominated by that; a real
+    # cluster's long-lived executors are always warm), the reported
+    # figure is the min (≈ the second, steady-state pass)
     best_wall, best_stage = None, None
     for _ in range(2):
         shutil.rmtree(out_dir, ignore_errors=True)

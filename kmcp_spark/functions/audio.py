@@ -86,13 +86,16 @@ def spectral_tokens(
     """PCM -> uint64 token per frame (amplitude-invariant quantized bands)."""
     frame_len = max(int(sr_hz * frame_ms / 1000), 8)
     hop_len = max(int(sr_hz * hop_ms / 1000), 4)
-    x = np.asarray(pcm, dtype=np.float64)
+    # float32 to match the batched kernel exactly (see
+    # spectral_shingle_hashes_batch — bandwidth-bound at scale)
+    x = np.asarray(pcm, dtype=np.float32)
     if x.shape[0] < frame_len:
         return np.empty(0, dtype=_U64)
     n_frames = 1 + (x.shape[0] - frame_len) // hop_len
     idx = np.arange(frame_len)[None, :] + hop_len * np.arange(n_frames)[:, None]
-    frames = x[idx] * np.hanning(frame_len)[None, :]
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_frames, nbins)
+    frames = x[idx] * np.hanning(frame_len).astype(np.float32)[None, :]
+    spec_c = np.fft.rfft(frames, axis=1)
+    spec = spec_c.real**2 + spec_c.imag**2  # (n_frames, nbins)
     nbins = spec.shape[1]
     edges = np.linspace(0, nbins, n_bands + 1).astype(int)
     band_e = np.stack(
@@ -140,6 +143,126 @@ def spectral_shingle_hashes(
 
         return syncmer_sketch(h, syncmer_s)
     return np.unique(h)
+
+
+def spectral_shingle_hashes_batch(
+    pcms: list[np.ndarray],
+    srs: list[int],
+    ngram: int = 4,
+    select: str = "full",
+    minimizer_w: int = 8,
+    syncmer_s: int = 5,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    n_bands: int = 8,
+    quant_levels: int = 8,
+) -> list[np.ndarray]:
+    """Batched variant of :func:`spectral_shingle_hashes`.
+
+    Rows are grouped by sample rate (same frame geometry); each group's
+    frames are stacked into ONE matrix and transformed with ONE rfft +
+    one quantization pass, then split back per row.  Identical output to
+    the per-row function (same windowing/quantization math), but ~one
+    large allocation + FFT per group instead of per row — per-row
+    allocation churn is what throttles scaling at high core counts on
+    page-fault-slow hosts.
+    """
+    n = len(pcms)
+    out: list[np.ndarray] = [np.empty(0, dtype=_U64)] * n
+    by_sr: dict[int, list[int]] = {}
+    for i, sr in enumerate(srs):
+        by_sr.setdefault(int(sr), []).append(i)
+    # bound the stacked frame matrix to ~8M doubles (64 MB): chunk each
+    # sr group so peak allocation stays flat regardless of batch size
+    max_elems = 8_000_000
+    chunked: list[tuple[int, list[int]]] = []
+    for sr, rows in by_sr.items():
+        frame_len = max(int(sr * frame_ms / 1000), 8)
+        hop_len = max(int(sr * hop_ms / 1000), 4)
+        cur: list[int] = []
+        cur_elems = 0
+        for i in rows:
+            nf = max(1 + (len(pcms[i]) - frame_len) // hop_len, 0)
+            if cur and cur_elems + nf * frame_len > max_elems:
+                chunked.append((sr, cur))
+                cur, cur_elems = [], 0
+            cur.append(i)
+            cur_elems += nf * frame_len
+        if cur:
+            chunked.append((sr, cur))
+    for sr, rows in chunked:
+        frame_len = max(int(sr * frame_ms / 1000), 8)
+        hop_len = max(int(sr * hop_ms / 1000), 4)
+        # float32 throughout: this kernel is memory-bandwidth-bound at
+        # high parallelism; halving element width nearly doubles
+        # aggregate throughput.  (Quantized band ratios are insensitive
+        # to the reduced precision.)
+        window = np.hanning(frame_len).astype(np.float32)
+        counts = []
+        total = 0
+        for i in rows:
+            nf = (
+                1 + (len(pcms[i]) - frame_len) // hop_len
+                if len(pcms[i]) >= frame_len
+                else 0
+            )
+            counts.append(nf)
+            total += nf
+        if total == 0:
+            continue
+        frames = np.empty((total, frame_len), dtype=np.float32)
+        pos0 = 0
+        for ci, i in enumerate(rows):
+            nf = counts[ci]
+            if nf == 0:
+                continue
+            x = np.asarray(pcms[i], dtype=np.float32)
+            idx = (
+                np.arange(frame_len, dtype=np.int64)[None, :]
+                + hop_len * np.arange(nf, dtype=np.int64)[:, None]
+            )
+            np.take(x, idx, out=frames[pos0 : pos0 + nf])
+            pos0 += nf
+        frames *= window[None, :]
+        spec_c = np.fft.rfft(frames, axis=1)
+        spec = (spec_c.real**2 + spec_c.imag**2)
+        nbins = spec.shape[1]
+        edges = np.linspace(0, nbins, n_bands + 1).astype(int)
+        band_e = np.stack(
+            [
+                spec[:, edges[b] : max(edges[b + 1], edges[b] + 1)].sum(axis=1)
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )
+        rel = band_e / np.maximum(band_e.sum(axis=1, keepdims=True), 1e-30)
+        q = np.minimum((rel * quant_levels).astype(np.int64), quant_levels - 1)
+        bits = max(int(np.ceil(np.log2(quant_levels))), 1)
+        tok = np.zeros(q.shape[0], dtype=_U64)
+        for b in range(n_bands):
+            tok = (tok << _U64(bits)) | q[:, b].astype(_U64)
+        # split token stream back per row and shingle
+        pos = 0
+        ci = 0
+        for i in rows:
+            c = counts[ci]
+            ci += 1
+            t = tok[pos : pos + c]
+            pos += c
+            if t.shape[0] < ngram:
+                continue
+            h = hash_bytes_rolling(t, ngram)
+            if select == "minimizer":
+                from kmcp_spark.functions.minhash import minimizer_sketch
+
+                out[i] = minimizer_sketch(h, minimizer_w)
+            elif select == "syncmer":
+                from kmcp_spark.functions.minhash import syncmer_sketch
+
+                out[i] = syncmer_sketch(h, syncmer_s)
+            else:
+                out[i] = np.unique(h)
+    return out
 
 
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:

@@ -193,16 +193,18 @@ def hyperplane_lsh_topk(
     """
     dim = len(emb.select("embedding").first()[0])
 
+    # hyperplane components are computed ONCE driver-side (seeded
+    # splitmix64 -> [-1,1]) and embedded as array literals; an earlier
+    # version rebuilt each plane per row with transform(sequence(...)) +
+    # xxhash64, which re-evaluated tables*planes*dim hash expressions
+    # for every row (observed 10x slowdown)
+    from kmcp_spark.functions.hashing import splitmix64 as _sm
+    import numpy as np
+
     def plane(t: int, p: int):
-        # deterministic pseudo-random hyperplane as an array literal-free
-        # column: component d = hash(t,p,d) scaled to [-1,1]
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                F.xxhash64(F.lit(master_seed), F.lit(t), F.lit(p), d).cast("double")
-                / F.lit(float(2**63))
-            ),
-        )
+        idx = np.arange(dim, dtype=np.uint64) + np.uint64(t * 100_003 + p * 1_009)
+        vals = _sm(idx, seed=master_seed).astype(np.float64) / float(2**64) * 2.0 - 1.0
+        return F.array(*[F.lit(float(v)) for v in vals])
 
     def bucket(t: int):
         bits = [

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from kmcp_spark.config import PipelineConfig
-from kmcp_spark.functions.audio import decode_pcm, spectral_shingle_hashes
+from kmcp_spark.functions.audio import decode_pcm, spectral_shingle_hashes_batch
 from kmcp_spark.functions.hashing import splitmix64
 from kmcp_spark.functions.minhash import minhash_signatures, scaled_sketch
 from kmcp_spark.functions.shingle import char_kgram_hashes_batch, word_ngram_hashes_batch
@@ -60,35 +60,37 @@ def _domain_shingles(
     sk = cfg.sketch
     char_sets = char_kgram_hashes_batch(pdf["transcript"], sk.char_k)
     word_sets = word_ngram_hashes_batch(pdf["transcript"], sk.word_n)
-    texts: list[np.ndarray] = []
-    audios: list[np.ndarray] = []
-    oks: list[bool] = []
     codecs = pdf["codec"].tolist()
     srs = pdf["sr_hz"].tolist()
     bufs = pdf["bytes"].tolist()
+    # decode per row (zero-copy frombuffer), then ONE batched FFT pass
+    pcms: list[np.ndarray] = []
+    oks: list[bool] = []
     for i in range(len(pdf)):
-        decode_ok = True
         try:
-            pcm = decode_pcm(bufs[i], codecs[i])
-            audio = spectral_shingle_hashes(
-                pcm,
-                int(srs[i]),
-                ngram=sk.audio_ngram,
-                select=sk.audio_select,
-                minimizer_w=sk.minimizer_w,
-                syncmer_s=sk.syncmer_s,
-                frame_ms=sk.frame_ms,
-                hop_ms=sk.hop_ms,
-                n_bands=sk.n_bands,
-                quant_levels=sk.quant_levels,
-            )
+            pcms.append(decode_pcm(bufs[i], codecs[i]))
+            oks.append(True)
         except NotImplementedError:
-            decode_ok = False
-            audio = np.empty(0, dtype=_U64)
+            pcms.append(np.empty(0, dtype=np.float64))
+            oks.append(False)
+    audio_sets = spectral_shingle_hashes_batch(
+        pcms,
+        srs,
+        ngram=sk.audio_ngram,
+        select=sk.audio_select,
+        minimizer_w=sk.minimizer_w,
+        syncmer_s=sk.syncmer_s,
+        frame_ms=sk.frame_ms,
+        hop_ms=sk.hop_ms,
+        n_bands=sk.n_bands,
+        quant_levels=sk.quant_levels,
+    )
+    texts: list[np.ndarray] = []
+    audios: list[np.ndarray] = []
+    for i in range(len(pdf)):
         text = np.union1d(char_sets[i], splitmix64(word_sets[i], seed=_WORD_SALT))
         texts.append(scaled_sketch(text, sk.scale))
-        audios.append(scaled_sketch(splitmix64(audio, seed=_AUDIO_SALT), sk.scale))
-        oks.append(decode_ok)
+        audios.append(scaled_sketch(splitmix64(audio_sets[i], seed=_AUDIO_SALT), sk.scale))
     return texts, audios, oks
 
 

@@ -139,7 +139,21 @@ def score_pairs(pairs: DataFrame, sketches: DataFrame, cfg: PipelineConfig) -> D
         F.bit_count(F.col("ska.simhash").bitwiseXOR(F.col("skb.simhash"))).alias(
             "simhash_hamming"
         ),
+        # X10: the reference's qCov -> sequence-similarity%% cubic model
+        # (`kmcp/cmd/cov2simi.go:55`); qCov analog here = containment
+        _cov2simi_col(inter / F.least(sz_a, sz_b)).alias("similarity_pct"),
     )
+
+
+def _cov2simi_col(q):
+    """Column form of kmcp's published cov->similarity cubic (X10)."""
+    s = (
+        F.lit(87.456)
+        + F.lit(26.410) * q
+        - F.lit(22.008) * q * q
+        + F.lit(7.325) * q * q * q
+    )
+    return F.round(F.least(F.greatest(s, F.lit(0.0)), F.lit(100.0)), 3)
 
 
 def verify_pairs(
@@ -178,7 +192,7 @@ def verify_pairs(
         "a string, b string, shared_bands bigint, n_common int, containment double, "
         "tcov double, jaccard double, text_jaccard double, audio_jaccard double, "
         "min_n_audio bigint, min_n_text bigint, "
-        "est_jaccard double, simhash_hamming int, lcs_len int"
+        "est_jaccard double, simhash_hamming int, similarity_pct double, lcs_len int"
     )
 
     def lcs_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
