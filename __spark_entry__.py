@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks by design ---
         "clips_sketch_stats": _clips_sketch_stats,
         "clips_dup_pairs": _clips_dup_pairs,
+        "clips_chunked_matches": _clips_chunked_matches,
     }
 
 
@@ -120,6 +121,24 @@ def _clips_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
     return sk.select(
         "clip_id", "size", "n_text", "n_audio", "decode_ok"
     ).orderBy("clip_id")
+
+
+def _clips_chunked_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunked sketching (--split-number analog): chunk-level LSH matches
+    aggregated per clip pair on the deterministic corpus."""
+    from kmcp_spark.config import PipelineConfig
+    from kmcp_spark.operators.chunking import (
+        aggregate_chunk_matches,
+        chunk_candidate_pairs,
+        sketch_clips_chunked,
+    )
+
+    cfg = PipelineConfig()
+    clips, _ = _clips_corpus(spark)
+    sk = sketch_clips_chunked(clips, cfg, chunk_sec=0.5, overlap_sec=0.1)
+    sk = sk.localCheckpoint(eager=True)
+    pairs = chunk_candidate_pairs(sk, cfg.lsh.bands, cfg.lsh.rows_per_band)
+    return aggregate_chunk_matches(pairs, sk, min_chunk_jaccard=0.5).orderBy("a", "b")
 
 
 def _clips_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:

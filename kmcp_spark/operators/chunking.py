@@ -1,0 +1,219 @@
+"""Clip chunking: the kmcp ``--split-number/--split-overlap`` analog.
+
+kmcp splits each reference sequence into overlapping chunks, sketches
+each chunk separately, indexes (name, chunkIdx, chunks), and scores /
+filters per chunk — chunksFrac >= minFragsProp is a profile gate
+(`kmcp/cmd/compute.go:682-727` split geometry, `kmcp/cmd/index.go:1092`
+chunk packing, `kmcp/cmd/profile.go:1018-1099` chunk-fraction filter).
+
+Audio analog: the spectral-token stream of a clip is split into
+overlapping windows of ``chunk_sec`` seconds; each chunk gets its own
+shingle set + MinHash signature.  Chunk-level LSH gives *localized*
+matches: a short clip embedded in the middle of a long one collides
+with the covering chunks at near-1.0 chunk Jaccard even when whole-clip
+similarity is diluted.  Chunk matches then aggregate per clip pair
+(max chunk containment + matched-chunk fraction — the qCov + chunksFrac
+analogs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from kmcp_spark.config import PipelineConfig
+from kmcp_spark.functions.audio import decode_pcm, spectral_tokens
+from kmcp_spark.functions.hashing import hash_bytes_rolling, splitmix64
+from kmcp_spark.functions.minhash import minhash_signatures
+
+_U64 = np.uint64
+_AUDIO_SALT = 0xA5D10  # same domain salt as the whole-clip sketch stage
+
+CHUNK_SKETCH_SCHEMA = (
+    "clip_id string, chunk_idx int, n_chunks int, size bigint, "
+    "codes array<bigint>, minhash array<bigint>, decode_ok boolean"
+)
+
+
+def _chunk_bounds(n_frames: int, chunk_frames: int, overlap_frames: int):
+    """kmcp-style split geometry: fixed chunk length with overlap; the
+    final chunk is anchored to the end so no frames are dropped
+    (`kmcp/cmd/compute.go:682-701`)."""
+    if n_frames <= chunk_frames:
+        return [(0, n_frames)]
+    step = max(chunk_frames - overlap_frames, 1)
+    bounds = []
+    s = 0
+    while True:
+        e = s + chunk_frames
+        if e >= n_frames:
+            bounds.append((n_frames - chunk_frames, n_frames))
+            break
+        bounds.append((s, e))
+        s += step
+    return bounds
+
+
+def sketch_clips_chunked(
+    clips: DataFrame,
+    cfg: PipelineConfig,
+    chunk_sec: float = 2.0,
+    overlap_sec: float = 0.5,
+) -> DataFrame:
+    """clips -> one sketch row per (clip, chunk) over audio shingles."""
+    sk = cfg.sketch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list[str] = []
+            idxs: list[int] = []
+            totals: list[int] = []
+            oks: list[bool] = []
+            sets: list[np.ndarray] = []
+            for _, r in pdf.iterrows():
+                try:
+                    pcm = decode_pcm(r["bytes"], r["codec"])
+                    tok = spectral_tokens(
+                        pcm,
+                        int(r["sr_hz"]),
+                        frame_ms=sk.frame_ms,
+                        hop_ms=sk.hop_ms,
+                        n_bands=sk.n_bands,
+                        quant_levels=sk.quant_levels,
+                    )
+                    ok = True
+                except (NotImplementedError, ValueError):
+                    tok, ok = np.empty(0, dtype=_U64), False
+                frames_per_sec = 1000.0 / sk.hop_ms
+                bounds = _chunk_bounds(
+                    len(tok),
+                    max(int(chunk_sec * frames_per_sec), sk.audio_ngram),
+                    int(overlap_sec * frames_per_sec),
+                )
+                for ci, (s, e) in enumerate(bounds):
+                    seg = tok[s:e]
+                    if len(seg) >= sk.audio_ngram:
+                        h = np.unique(hash_bytes_rolling(seg, sk.audio_ngram))
+                        h = splitmix64(h, seed=_AUDIO_SALT)
+                    else:
+                        h = np.empty(0, dtype=_U64)
+                    ids.append(r["clip_id"])
+                    idxs.append(ci)
+                    totals.append(len(bounds))
+                    oks.append(ok)
+                    sets.append(np.unique(h))
+            sig = minhash_signatures(sets, sk.num_perm, sk.master_seed)
+            yield pd.DataFrame(
+                {
+                    "clip_id": ids,
+                    "chunk_idx": np.array(idxs, dtype=np.int32),
+                    "n_chunks": np.array(totals, dtype=np.int32),
+                    "size": np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets)),
+                    "codes": [s.view(np.int64) for s in sets],
+                    "minhash": list(sig.view(np.int64)),
+                    "decode_ok": np.array(oks, dtype=bool),
+                }
+            )
+
+    cols = ["clip_id", "bytes", "sr_hz", "codec"]
+    return clips.select(*cols).mapInPandas(run, schema=CHUNK_SKETCH_SCHEMA)
+
+
+def chunk_candidate_pairs(
+    chunk_sketches: DataFrame, bands: int, rows_per_band: int, max_bucket: int = 2000
+) -> DataFrame:
+    """LSH over chunk entities -> chunk-level candidate pairs
+    (a, a_chunk, b, b_chunk, shared_bands), different clips only."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.lit(b), F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = chunk_sketches.select(
+        "clip_id", "chunk_idx", F.explode(band_structs).alias("band")
+    ).select("clip_id", "chunk_idx", "band.band_id", "band.band_hash")
+    sizes = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("sz"))
+    ok = buckets.join(
+        sizes.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)).select(
+            "band_id", "band_hash"
+        ),
+        ["band_id", "band_hash"],
+    )
+    return (
+        ok.alias("l")
+        .join(ok.alias("r"), ["band_id", "band_hash"])
+        .filter(F.col("l.clip_id") < F.col("r.clip_id"))
+        .groupBy(
+            F.col("l.clip_id").alias("a"),
+            F.col("l.chunk_idx").alias("a_chunk"),
+            F.col("r.clip_id").alias("b"),
+            F.col("r.chunk_idx").alias("b_chunk"),
+        )
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+def aggregate_chunk_matches(
+    chunk_pairs: DataFrame,
+    chunk_sketches: DataFrame,
+    min_chunk_jaccard: float = 0.5,
+) -> DataFrame:
+    """Score chunk pairs exactly and roll up per clip pair.
+
+    Output per (a, b): best_chunk_jaccard / best_chunk_containment (the
+    qCov analog), n_matched_chunks, matched_chunk_frac (the chunksFrac
+    analog, `kmcp/cmd/profile.go:1018-1099` — fraction of the
+    smaller clip's chunks with a matching partner).
+    """
+    sk = chunk_sketches.select(
+        "clip_id", "chunk_idx", "codes", "size", "n_chunks"
+    )
+    a = sk.alias("ca")
+    b = sk.alias("cb")
+    j = (
+        chunk_pairs.join(
+            a,
+            (chunk_pairs["a"] == F.col("ca.clip_id"))
+            & (chunk_pairs["a_chunk"] == F.col("ca.chunk_idx")),
+        )
+        .join(
+            b,
+            (chunk_pairs["b"] == F.col("cb.clip_id"))
+            & (chunk_pairs["b_chunk"] == F.col("cb.chunk_idx")),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ca.codes"), F.col("cb.codes")))
+    scored = j.select(
+        "a",
+        "b",
+        "a_chunk",
+        "b_chunk",
+        (inter / F.greatest(F.col("ca.size") + F.col("cb.size") - inter, F.lit(1))).alias(
+            "chunk_jaccard"
+        ),
+        (inter / F.greatest(F.least("ca.size", "cb.size"), F.lit(1))).alias(
+            "chunk_containment"
+        ),
+        F.least("ca.n_chunks", "cb.n_chunks").alias("min_n_chunks"),
+    )
+    matched = scored.filter(F.col("chunk_jaccard") >= min_chunk_jaccard)
+    return matched.groupBy("a", "b").agg(
+        F.max("chunk_jaccard").alias("best_chunk_jaccard"),
+        F.max("chunk_containment").alias("best_chunk_containment"),
+        F.countDistinct("a_chunk", "b_chunk").alias("n_matched_chunks"),
+        (
+            F.countDistinct("a_chunk") / F.max("min_n_chunks")
+        ).alias("matched_chunk_frac"),
+    )

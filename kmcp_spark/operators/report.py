@@ -1,0 +1,82 @@
+"""Report writers: the `kmcp profile` output-format analog (S10).
+
+kmcp emits one result in several formats (KMCP profile / CAMI /
+MetaPhlAn / binning, `kmcp/cmd/profile.go:2882,3014,2955,2612`).  The
+dedup analogs:
+
+  - cluster_summary: one row per duplicate cluster (the profile table).
+  - dedup_manifest: one row per clip with a keep/drop decision (the
+    binning table — which "bin"/cluster each item belongs to and
+    whether it survives dedup).
+  - cluster_sizes_histogram: distribution report (index-density analog).
+
+All are plain DataFrames; ``write_reports`` materializes each under a
+directory (parquet + a CSV copy for human eyes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cluster_summary(clusters: DataFrame, verified: DataFrame) -> DataFrame:
+    """Per-cluster stats: size, canonical member, pair-score aggregates."""
+    members = clusters.filter(F.col("cluster_size") > 1)
+    canon = members.filter(F.col("is_canonical")).select(
+        "cluster_id", F.col("clip_id").alias("canonical_clip")
+    )
+    edge_stats = (
+        verified.join(
+            members.select(F.col("clip_id").alias("a"), "cluster_id"), "a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+            F.round(F.min("containment"), 4).alias("min_containment"),
+            F.round(F.avg("similarity_pct"), 2).alias("mean_similarity_pct"),
+            F.count("*").alias("n_verified_edges"),
+        )
+    )
+    sizes = members.groupBy("cluster_id").agg(F.max("cluster_size").alias("cluster_size"))
+    return (
+        sizes.join(canon, "cluster_id")
+        .join(edge_stats, "cluster_id", "left")
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
+def dedup_manifest(clusters: DataFrame) -> DataFrame:
+    """Keep/drop decision per clip: keep the canonical member of each
+    cluster (singletons are their own canonical — kept)."""
+    return clusters.select(
+        "clip_id",
+        "cluster_id",
+        "cluster_size",
+        F.col("is_canonical").alias("keep"),
+    )
+
+
+def cluster_sizes_histogram(clusters: DataFrame) -> DataFrame:
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def write_reports(out_dir: str, clusters: DataFrame, verified: DataFrame) -> dict:
+    """Materialize every report format; returns row counts."""
+    reports = {
+        "cluster_summary": cluster_summary(clusters, verified),
+        "dedup_manifest": dedup_manifest(clusters),
+        "cluster_sizes_histogram": cluster_sizes_histogram(clusters),
+    }
+    counts = {}
+    for name, df in reports.items():
+        path = os.path.join(out_dir, "reports", name)
+        df.write.mode("overwrite").parquet(path)
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(path + "_csv")
+        counts[name] = df.count()
+    return counts

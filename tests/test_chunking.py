@@ -1,0 +1,82 @@
+"""Chunked sketching (the --split-number analog): an excerpt embedded
+inside a longer clip must surface through chunk-level LSH with
+near-1.0 chunk Jaccard, even though whole-clip similarity is diluted."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kmcp_spark.config import PipelineConfig
+from kmcp_spark.corpus import CLIPS_SCHEMA
+from kmcp_spark.functions.audio import encode_wav
+from kmcp_spark.operators.chunking import (
+    _chunk_bounds,
+    aggregate_chunk_matches,
+    chunk_candidate_pairs,
+    sketch_clips_chunked,
+)
+
+
+def test_chunk_bounds_geometry():
+    # covers every frame; last chunk anchored to the end
+    b = _chunk_bounds(1000, 300, 50)
+    assert b[0][0] == 0 and b[-1][1] == 1000
+    assert all(e - s == 300 for s, e in b)
+    # overlap respected
+    assert b[1][0] == 250
+    # short input: single chunk
+    assert _chunk_bounds(100, 300, 50) == [(0, 100)]
+
+
+@pytest.fixture(scope="module")
+def embedded_corpus(spark):
+    """clip long_A of 8 s; clip sub_B = seconds 3..5 of A; clip other_C
+    unrelated."""
+    sr = 16000
+    rng = np.random.default_rng(77)
+    t = np.arange(8 * sr) / sr
+    a = np.zeros_like(t)
+    for s0 in range(0, len(t), sr // 5):
+        f = rng.uniform(100, 3000)
+        seg = t[s0 : s0 + sr // 5]
+        a[s0 : s0 + sr // 5] += 0.3 * np.sin(2 * np.pi * f * seg)
+    a += rng.normal(0, 0.01, len(t))
+    b = a[3 * sr : 5 * sr]
+    c = rng.normal(0, 0.2, 4 * sr)
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["long_A", "sub_B", "other_C"],
+            "bytes": [encode_wav(x, sr) for x in (a, b, c)],
+            "sr_hz": [sr] * 3,
+            "dur_ms": [8000, 2000, 4000],
+            "codec": ["wav"] * 3,
+            "transcript": ["alpha beta", "gamma delta", "epsilon zeta"],
+        }
+    )
+    return spark.createDataFrame(rows, schema=CLIPS_SCHEMA)
+
+
+def test_embedded_excerpt_found_via_chunks(spark, embedded_corpus):
+    cfg = PipelineConfig()
+    sk = sketch_clips_chunked(embedded_corpus, cfg, chunk_sec=2.0, overlap_sec=0.5)
+    skp = sk.toPandas()
+    assert skp[skp.clip_id == "long_A"]["n_chunks"].iloc[0] > 1
+    assert (skp[skp.clip_id == "sub_B"]["n_chunks"] == 1).all()
+
+    sk_cached = sk.localCheckpoint(eager=True)
+    pairs = chunk_candidate_pairs(sk_cached, bands=cfg.lsh.bands, rows_per_band=cfg.lsh.rows_per_band)
+    agg = aggregate_chunk_matches(pairs, sk_cached, min_chunk_jaccard=0.3).toPandas()
+    ab = agg[(agg.a == "long_A") & (agg.b == "sub_B")]
+    assert len(ab) == 1, f"excerpt not found: {agg}"
+    assert ab["best_chunk_containment"].iloc[0] >= 0.8
+    # the unrelated clip must not pair with either
+    assert not ((agg.a == "other_C") | (agg.b == "other_C")).any()
+
+
+def test_chunk_sketch_determinism(spark, embedded_corpus):
+    cfg = PipelineConfig()
+    s1 = sketch_clips_chunked(embedded_corpus, cfg).toPandas().sort_values(["clip_id", "chunk_idx"])
+    s2 = sketch_clips_chunked(embedded_corpus, cfg).toPandas().sort_values(["clip_id", "chunk_idx"])
+    assert s1["size"].tolist() == s2["size"].tolist()
+    for x, y in zip(s1["minhash"], s2["minhash"]):
+        assert np.array_equal(x, y)
