@@ -101,11 +101,15 @@ class DedupPipeline:
         # quadratically; this is the degenerate case the max_bucket cap
         # would otherwise have to drop).
         def build_exact():
-            w = Window.partitionBy("content_hash")
+            # two independently-seeded xxhash64 passes = 128 bits of
+            # content hash (birthday-safe at 10^12 rows) at ~10x the
+            # throughput of md5 on the JVM
+            w = Window.partitionBy("h1", "h2")
             return (
                 clips.select(
                     "clip_id",
-                    F.concat(F.md5("bytes"), F.md5("transcript")).alias("content_hash"),
+                    F.xxhash64(F.lit(1), "bytes", "transcript").alias("h1"),
+                    F.xxhash64(F.lit(2), "bytes", "transcript").alias("h2"),
                 )
                 .withColumn("rep_id", F.min("clip_id").over(w))
                 .select("clip_id", "rep_id")
