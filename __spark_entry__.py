@@ -226,8 +226,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_stats": """
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                   length(text) AS n_chars_actual,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+                   CAST(length(text) AS INT) AS n_chars_actual,
                    CAST(list_sum([length(t) for t in
                         regexp_split_to_array(trim(text), '\\s+')]) AS DOUBLE)
                      / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
@@ -361,26 +361,30 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 2
         """,
         "events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type,
                    count(*) AS n_events, round(sum(CAST(round(value * 1000000) AS BIGINT)) / count(*) / 1000000.0, 6) AS mean_value
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
             WITH s AS (
-              SELECT user_id, event_id, ts, value,
+              SELECT user_id, event_id, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS te, ts, 
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                               OR CAST(floor(epoch(ts)) AS BIGINT)
+                                  - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), t AS (
-              SELECT user_id, ts, value,
-                     sum(new_sess) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS session_id
+              SELECT user_id, te, value,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS BIGINT) AS session_id
               FROM s
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   min(ts) AS session_start, max(ts) AS session_end,
+                   min(te) AS session_start,
+                   max(te) AS session_end,
                    round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS total_value
             FROM t GROUP BY 1, 2
         """,

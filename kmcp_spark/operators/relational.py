@@ -147,7 +147,12 @@ def events_hourly(events: DataFrame) -> DataFrame:
     in kmcp_spark.streaming)."""
     return (
         events.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            # epoch seconds, not timestamps: pandas timestamp resolution
+            # differs between engines (ns vs us) and can perturb hashing
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp")
+            .cast("long")
+            .alias("hour_epoch"),
             F.col("event_type"),
         )
         .agg(
@@ -169,13 +174,14 @@ def events_sessionize(events: DataFrame, gap_min: int = 30) -> DataFrame:
     is_new = F.when(gap.isNull() | (gap > gap_min * 60), 1).otherwise(0)
     sess = (
         events.select("user_id", "event_id", "ts", "value")
+        .withColumn("ts_epoch", ep)
         .withColumn("new_sess", is_new)
         .withColumn("session_id", F.sum("new_sess").over(w))
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min("ts_epoch").alias("session_start"),
+        F.max("ts_epoch").alias("session_end"),
         F.round(_qsum(F.col("value")) / 1_000_000.0, 6).alias("total_value"),
     )
 
