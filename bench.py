@@ -170,9 +170,14 @@ def main() -> None:
         # bandwidth) — the 8->32 pair cannot evidence pipeline scaling
         # on this box regardless of the code (see BENCH/BASELINE.md)
         scale_hi = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "8"))
-        scaling = bench_scaling(scale_hi, n_clips)
-        result.update(scaling)
-        result["value"] = scaling["clips_per_sec_4n"]
+        try:
+            scaling = bench_scaling(scale_hi, n_clips)
+            result.update(scaling)
+            result["value"] = scaling["clips_per_sec_4n"]
+        except Exception as ex:  # never lose the round artifact
+            log("scaling bench failed:", ex)
+            result["scaling_error"] = str(ex)[:300]
+            result["value"] = result["total_query_sec"]
     else:
         result["value"] = result["total_query_sec"]
     result["bench_wall_sec"] = round(time.time() - t0, 1)
