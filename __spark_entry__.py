@@ -101,10 +101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _clips_corpus(spark: SparkSession, n: int = 120):
+def _clips_corpus(spark: SparkSession, n: int = 80):
     from kmcp_spark.corpus import generate_clips
 
-    clips, truth = generate_clips(spark, n, min_dur_s=0.5, max_dur_s=1.2)
+    clips, truth = generate_clips(spark, n, min_dur_s=0.4, max_dur_s=0.9)
     return clips, truth
 
 
