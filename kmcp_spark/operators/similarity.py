@@ -20,14 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _norm(col):
-    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-
-
 # Quantized cosine: components scaled by 1e6 and rounded to bigint, so
 # dot products and square norms are EXACT integer sums — identical in any
 # engine regardless of summation order.  The final cosine is then a
@@ -111,50 +103,81 @@ def cosine_topk(
     )
 
 
-def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.95, round_digits: int = 6) -> DataFrame:
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    round_digits: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup dedup).
 
-    Arrow-batched blocked GEMM: the quantized matrix of the (smaller)
-    right side is broadcast; each partition of the left side computes an
-    int64 ``A @ B.T`` in numpy (exact integer arithmetic — bit-identical
-    to a JVM long fold / SQL oracle) and emits only pairs above the
-    threshold.  A pure-expression ``aggregate(zip_with)`` variant was
-    26 s at 2k×2k×64; GEMM is ~1 s.  At 10^12 rows this baseline is
-    quadratic by definition — ``hyperplane_lsh_topk`` is the scale
-    path; blocked-broadcast GEMM is how each LSH bucket's all-pairs
-    step runs there too.
+    Distributed block-pair GEMM — NO driver-side collect/broadcast: rows
+    are hashed into ``n_blocks`` blocks; each of the B(B+1)/2 block pairs
+    becomes one ``applyInPandas`` group that computes an exact int64
+    ``A @ B.T`` in numpy (bit-identical to a JVM long fold / SQL oracle)
+    and emits only pairs above the threshold.  Each row is shipped to
+    B+1 groups, so communication is O(n·B) while each task touches only
+    2n/B rows — the standard exact all-pairs-similarity decomposition.
+    At 10^12 rows the all-pairs baseline is quadratic by definition —
+    ``hyperplane_lsh_topk`` is the scale path; this same per-group GEMM
+    kernel is how each LSH bucket's local all-pairs step runs there too.
     """
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bpdf = emb.select("vec_id", "embedding").toPandas()
-    b_ids = bpdf["vec_id"].to_numpy()
-    B = _quantize_np(np.stack(bpdf["embedding"].to_numpy()))
-    b_norm = (B.astype(np.float64) ** 2).sum(axis=1)  # exact: < 2^53
-    bc = spark.sparkContext.broadcast((b_ids, B, b_norm))
+    B = n_blocks or max(int(np.ceil(np.sqrt(2 * nparts))), 2)
 
-    def gemm(batches):
-        ids_b, Bm, nb = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids_a = pdf["vec_id"].to_numpy()
-            A = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
-            na = (A.astype(np.float64) ** 2).sum(axis=1)
-            dot = A @ Bm.T  # int64 exact
-            cos = dot / np.sqrt(np.outer(na, nb))
-            cos = _round_half_away(cos, round_digits)
-            ai, bi = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (cos >= threshold))
-            yield pd.DataFrame(
-                {"a": ids_a[ai], "b": ids_b[bi], "cosine": cos[ai, bi]}
-            )
+    # block-pair membership: block b serves as the LEFT side of groups
+    # (b, j>=b) and the RIGHT side of groups (i<b, b); the diagonal group
+    # holds its block once (side 0) and pairs internally
+    mem = [(b, b, j, 0) for b in range(B) for j in range(b, B)] + [
+        (b, i, b, 1) for b in range(B) for i in range(b)
+    ]
+    memdf = spark.createDataFrame(mem, "block int, gi int, gj int, side int")
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("block"),
+    ).join(F.broadcast(memdf), "block")
 
-    return (
-        emb.select("vec_id", "embedding")
-        .repartition(nparts)
-        .mapInPandas(gemm, schema="a bigint, b bigint, cosine double")
+    def gemm(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+            {"a": np.int64, "b": np.int64, "cosine": np.float64}
+        )
+        left = pdf[pdf["side"] == 0]
+        if not len(left):
+            return empty
+        ids_a = left["vec_id"].to_numpy()
+        A = _quantize_np(np.stack(left["embedding"].to_numpy()))
+        na = (A.astype(np.float64) ** 2).sum(axis=1)  # exact: < 2^53
+        if gi == gj:
+            ids_b, Bm, nb = ids_a, A, na
+        else:
+            right = pdf[pdf["side"] == 1]
+            if not len(right):
+                return empty
+            ids_b = right["vec_id"].to_numpy()
+            Bm = _quantize_np(np.stack(right["embedding"].to_numpy()))
+            nb = (Bm.astype(np.float64) ** 2).sum(axis=1)
+        dot = A @ Bm.T  # int64 exact
+        cos = _round_half_away(dot / np.sqrt(np.outer(na, nb)), round_digits)
+        hit = cos >= threshold
+        if gi == gj:
+            hit &= ids_a[:, None] < ids_b[None, :]
+        ai, bi = np.nonzero(hit)
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ids_a[ai], ids_b[bi]),
+                "b": np.maximum(ids_a[ai], ids_b[bi]),
+                "cosine": cos[ai, bi],
+            }
+        )
+
+    return tagged.groupBy("gi", "gj").applyInPandas(
+        gemm, schema="a bigint, b bigint, cosine double"
     )
 
 
@@ -174,6 +197,28 @@ def _round_half_away(x, digits: int):
     return np.copysign(np.floor(np.abs(y) + 0.5), y) / s
 
 
+def hyperplanes_q(
+    dim: int, n_planes: int = 12, n_tables: int = 4, master_seed: int = 42
+):
+    """Quantized random hyperplanes shared by the Spark plan AND the SQL
+    oracle: seeded splitmix64 -> uniform [-1, 1] -> int64 at 1e6 scale.
+    With embeddings quantized the same way, every dot product is an exact
+    integer (|sum| < 2^53), so the bucket sign bit is bit-identical in
+    any engine — no float-fold nondeterminism at the decision boundary.
+    """
+    import numpy as np
+
+    from kmcp_spark.functions.hashing import splitmix64 as _sm
+
+    planes = np.empty((n_tables, n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            idx = np.arange(dim, dtype=np.uint64) + np.uint64(t * 100_003 + p * 1_009)
+            vals = _sm(idx, seed=master_seed).astype(np.float64) / float(2**64) * 2.0 - 1.0
+            planes[t, p] = np.round(vals * _Q).astype(np.int64)
+    return planes
+
+
 def hyperplane_lsh_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -185,31 +230,28 @@ def hyperplane_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket probing.
 
-    ``n_tables`` independent sign-pattern hashes; a query compares only
-    against vectors sharing a bucket in any table.  The hyperplanes are
-    seeded pseudo-random values derived JVM-side from (table, plane,
-    dim) via xxhash64 → uniform in [-1, 1] — fully deterministic, no
-    Python, no data movement beyond the bucket join.
+    ``n_tables`` independent sign-pattern hashes (Charikar 2002); a query
+    compares only against vectors sharing a bucket in any table.  Plane
+    components are computed ONCE driver-side and embedded as int64
+    array literals (an earlier version rebuilt each plane per row with
+    transform(sequence(...)) + xxhash64 — 10x slower), and both the
+    bucket sign and the final cosine use the quantized-exact math so a
+    SQL oracle reproduces every bucket and rank decision exactly.
     """
     dim = len(emb.select("embedding").first()[0])
+    planes = hyperplanes_q(dim, n_planes, n_tables, master_seed)
 
-    # hyperplane components are computed ONCE driver-side (seeded
-    # splitmix64 -> [-1,1]) and embedded as array literals; an earlier
-    # version rebuilt each plane per row with transform(sequence(...)) +
-    # xxhash64, which re-evaluated tables*planes*dim hash expressions
-    # for every row (observed 10x slowdown)
-    from kmcp_spark.functions.hashing import splitmix64 as _sm
-    import numpy as np
-
-    def plane(t: int, p: int):
-        idx = np.arange(dim, dtype=np.uint64) + np.uint64(t * 100_003 + p * 1_009)
-        vals = _sm(idx, seed=master_seed).astype(np.float64) / float(2**64) * 2.0 - 1.0
-        return F.array(*[F.lit(float(v)) for v in vals])
+    def intdot(qcol, plane_row):
+        arr = F.array(*[F.lit(int(v)) for v in plane_row])
+        return F.aggregate(
+            F.zip_with(qcol, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
 
     def bucket(t: int):
         bits = [
-            F.when(_dot(F.col("embedding"), plane(t, p)) >= 0, F.lit(1)).otherwise(F.lit(0))
-            * F.lit(2**p)
+            F.when(intdot(F.col("qemb"), planes[t][p]) >= 0, F.lit(2**p)).otherwise(F.lit(0))
             for p in range(n_planes)
         ]
         s = bits[0]
@@ -220,8 +262,10 @@ def hyperplane_lsh_topk(
     tables = F.array(
         *[F.struct(F.lit(t).alias("table_id"), bucket(t).alias("bucket")) for t in range(n_tables)]
     )
-    hashed = emb.select("vec_id", "embedding", F.explode(tables).alias("tb")).select(
-        "vec_id", "embedding", "tb.table_id", "tb.bucket"
+    hashed = (
+        emb.select("vec_id", "embedding", _qvec(F.col("embedding")).alias("qemb"))
+        .select("vec_id", "embedding", F.explode(tables).alias("tb"))
+        .select("vec_id", "embedding", "tb.table_id", "tb.bucket")
     )
     q = (
         hashed.join(
@@ -253,8 +297,7 @@ def hyperplane_lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_emb"), F.col("n_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
-            round_digits,
+            quantized_cosine(F.col("q_emb"), F.col("n_emb")), round_digits
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
