@@ -122,11 +122,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(sp, sf, "documents"), n=3, threshold=0.6
         ),
         # --- the clip pipeline itself, driven on a deterministic
-        # synthetic corpus (input_hint schema); non-SQL-expressible ->
-        # rows-only checks by design ---
+        # synthetic corpus (input_hint schema).  The audio kernels have
+        # no SQL equivalent, so their outputs are staged as aux tables
+        # and everything downstream (scoring joins, chunk aggregation,
+        # recall/precision math) is oracle-checked from those tables;
+        # only clips_sketch_stats stays rows-only (pure kernel output).
         "clips_sketch_stats": _clips_sketch_stats,
         "clips_dup_pairs": _clips_dup_pairs,
         "clips_chunked_matches": _clips_chunked_matches,
+        "clips_recall_precision": _clips_recall_precision,
     }
 
 
@@ -148,18 +152,52 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_fixtures")
+
+
 def _clips_corpus(spark: SparkSession, n: int = 80):
+    """Write-once parquet fixture of the deterministic synthetic corpus.
+
+    r1 regenerated the corpus from scratch inside EVERY clips query,
+    paying Python-worker fan-out for trivial work (44.8 s for 80 clips);
+    now generation happens once per process lifetime of the fixture dir
+    and every query reads parquet."""
+    import json
+
     from kmcp_spark.corpus import generate_clips
 
-    clips, truth = generate_clips(spark, n, min_dur_s=0.4, max_dur_s=0.9)
-    return clips, truth
+    base = os.path.join(_FIXTURE_DIR, f"clips{n}")
+    marker = os.path.join(base, "_done.json")
+    if not os.path.exists(marker):
+        clips, truth = generate_clips(
+            spark, n, min_dur_s=0.4, max_dur_s=0.9, partitions=8
+        )
+        clips.write.mode("overwrite").parquet(os.path.join(base, "clips"))
+        truth.write.mode("overwrite").parquet(os.path.join(base, "truth"))
+        with open(marker, "w") as f:
+            json.dump({"n": n}, f)
+    return (
+        spark.read.parquet(os.path.join(base, "clips")),
+        spark.read.parquet(os.path.join(base, "truth")),
+    )
+
+
+def _truth_pairs(truth: DataFrame) -> DataFrame:
+    """Ground-truth intra-cluster pairs (a < b) from the truth table."""
+    from pyspark.sql import functions as F
+
+    m = truth.select("clip_id", "cluster_id")
+    return (
+        m.alias("x")
+        .join(m.alias("y"), "cluster_id")
+        .filter(F.col("x.clip_id") < F.col("y.clip_id"))
+        .select(F.col("x.clip_id").alias("a"), F.col("y.clip_id").alias("b"))
+    )
 
 
 def _clips_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Sketch-stage output profile on the deterministic 120-clip corpus
+    """Sketch-stage output profile on the deterministic 80-clip corpus
     (audio decode -> spectral shingles -> MinHash/SimHash)."""
-    from pyspark.sql import functions as F
-
     from kmcp_spark.config import PipelineConfig
     from kmcp_spark.operators.sketch import sketch_clips
 
@@ -170,9 +208,107 @@ def _clips_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def _clips_verified(spark: SparkSession):
+    """Shared sketch -> LSH -> score -> verify path over the fixture;
+    returns (clips, truth, sketches, verified)."""
+    from kmcp_spark.config import PipelineConfig
+    from kmcp_spark.operators.lsh import band_buckets, candidate_pairs
+    from kmcp_spark.operators.sketch import sketch_clips
+    from kmcp_spark.operators.verify import score_pairs, verify_pairs
+
+    cfg = PipelineConfig()
+    clips, truth = _clips_corpus(spark)
+    sk = sketch_clips(clips, cfg).localCheckpoint(eager=True)
+    pairs, _ = candidate_pairs(
+        band_buckets(sk, cfg.lsh.bands, cfg.lsh.rows_per_band), cfg.lsh.max_bucket
+    )
+    verified = verify_pairs(score_pairs(pairs, sk, cfg), clips, cfg)
+    return clips, truth, sk, verified
+
+
+def _clips_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Full dedup path (sketch -> LSH -> verify) on the 80-clip corpus.
+
+    Oracle strategy: the sketch codes, the verified pair keys, and the
+    truth pairs are staged as aux tables; DuckDB RE-SCORES every emitted
+    pair from the codes (list_intersect vs Spark's array_intersect) and
+    re-derives the truth flag, so the scoring join math is value-checked
+    even though the audio kernel is not SQL-expressible."""
+    from pyspark.sql import functions as F
+
+    clips, truth, sk, verified = _clips_verified(spark)
+    verified = verified.localCheckpoint(eager=True)
+    _write_aux(
+        sk.select("clip_id", "codes_text", "codes_audio", "size"),
+        "clips_sketches",
+        ["clip_id"],
+    )
+    _write_aux(
+        verified.select("a", "b", "shared_bands", "lcs_len"),
+        "clips_verified",
+        ["a", "b"],
+    )
+    tp = _truth_pairs(truth)
+    _write_aux(tp, "clips_truth_pairs", ["a", "b"])
+    return verified.join(tp.withColumn("_t", F.lit(True)), ["a", "b"], "left").select(
+        "a",
+        "b",
+        "shared_bands",
+        "n_common",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+        "lcs_len",
+        F.coalesce("_t", F.lit(False)).alias("is_true_dup"),
+    )
+
+
+def _clips_recall_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule dup-pair recall/precision of the full pipeline
+    (verify -> weak-edge pruning -> connected components) against the
+    planted truth, computed FROM the staged pred/truth pair tables so
+    DuckDB can re-derive the same metrics."""
+    from pyspark.sql import functions as F
+
+    from kmcp_spark.operators.cluster import (
+        cluster_report,
+        connected_components,
+        prune_weak_edges,
+    )
+    from kmcp_spark.plans.pipeline import dup_pairs_from_clusters
+
+    clips, truth, sk, verified = _clips_verified(spark)
+    edges = prune_weak_edges(verified, alpha=0.5)
+    labels = connected_components(edges, all_nodes=sk.select("clip_id"))
+    pred = dup_pairs_from_clusters(cluster_report(labels))
+    pred_path = _write_aux(pred, "clips_pred_pairs", ["a", "b"])
+    truth_path = _write_aux(_truth_pairs(truth), "clips_truth_pairs", ["a", "b"])
+    p = spark.read.parquet(pred_path)
+    t = spark.read.parquet(truth_path)
+    nt = t.agg(F.count("*").alias("n_true"))
+    npred = p.agg(F.count("*").alias("n_pred"))
+    nh = t.join(p, ["a", "b"]).agg(F.count("*").alias("n_hit"))
+    return (
+        nt.crossJoin(npred)
+        .crossJoin(nh)
+        .select(
+            "n_true",
+            "n_pred",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_pred"), 6).alias("precision"),
+        )
+    )
+
+
 def _clips_chunked_matches(spark: SparkSession, sf: str) -> DataFrame:
-    """Chunked sketching (--split-number analog): chunk-level LSH matches
-    aggregated per clip pair on the deterministic corpus."""
+    """Chunked sketching (--split-number analog): chunk-level matches
+    aggregated per clip pair on the deterministic corpus.
+
+    Banding uses r=1 over all 128 signature positions, which is
+    exhaustive for chunk Jaccard >= 0.5 (miss prob <= 0.5^128), so the
+    result equals the all-pairs chunk scan DuckDB runs over the staged
+    chunk-sketch table — candidate generation, exact scoring, and the
+    per-pair roll-up (incl. matched_chunk_frac) are all value-checked."""
     from kmcp_spark.config import PipelineConfig
     from kmcp_spark.operators.chunking import (
         aggregate_chunk_matches,
@@ -184,30 +320,14 @@ def _clips_chunked_matches(spark: SparkSession, sf: str) -> DataFrame:
     clips, _ = _clips_corpus(spark)
     sk = sketch_clips_chunked(clips, cfg, chunk_sec=0.5, overlap_sec=0.1)
     sk = sk.localCheckpoint(eager=True)
-    pairs = chunk_candidate_pairs(sk, cfg.lsh.bands, cfg.lsh.rows_per_band)
-    return aggregate_chunk_matches(pairs, sk, min_chunk_jaccard=0.5).orderBy("a", "b")
-
-
-def _clips_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Full dedup path (sketch -> LSH -> verify) on the 120-clip corpus."""
-    from pyspark.sql import functions as F
-
-    from kmcp_spark.config import PipelineConfig
-    from kmcp_spark.operators.lsh import band_buckets, candidate_pairs
-    from kmcp_spark.operators.sketch import sketch_clips
-    from kmcp_spark.operators.verify import score_pairs, verify_pairs
-
-    cfg = PipelineConfig()
-    clips, _ = _clips_corpus(spark)
-    clips = clips.localCheckpoint(eager=True)
-    sk = sketch_clips(clips, cfg).localCheckpoint(eager=True)
-    pairs, _ = candidate_pairs(
-        band_buckets(sk, cfg.lsh.bands, cfg.lsh.rows_per_band), cfg.lsh.max_bucket
+    aux = _write_aux(
+        sk.select("clip_id", "chunk_idx", "codes", "size", "n_chunks"),
+        "clips_chunk_sketches",
+        ["clip_id", "chunk_idx"],
     )
-    verified = verify_pairs(score_pairs(pairs, sk, cfg), clips, cfg)
-    return verified.select("a", "b", "shared_bands", "n_common", "lcs_len").orderBy(
-        "a", "b"
-    )
+    pairs = chunk_candidate_pairs(sk, bands=cfg.sketch.num_perm, rows_per_band=1)
+    sk2 = spark.read.parquet(aux)
+    return aggregate_chunk_matches(pairs, sk2, min_chunk_jaccard=0.5)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -510,11 +630,77 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE n_common / least(sa.n_grams, sb.n_grams) >= 0.6
         """,
+        # clips_dup_pairs: DuckDB re-scores every verified pair from the
+        # staged sketch codes (n_common/containment/jaccard recomputed
+        # via list_intersect) and re-derives the truth flag; shared_bands
+        # and lcs_len are pass-through pair attributes.
+        "clips_dup_pairs": f"""
+            WITH sk AS (SELECT * FROM read_parquet('{_aux_glob("clips_sketches")}')),
+            vp AS (SELECT * FROM read_parquet('{_aux_glob("clips_verified")}')),
+            tp AS (SELECT * FROM read_parquet('{_aux_glob("clips_truth_pairs")}')),
+            scored AS (
+              SELECT vp.a, vp.b, vp.shared_bands, vp.lcs_len,
+                     len(list_intersect(sa.codes_text, sb.codes_text))
+                       + len(list_intersect(sa.codes_audio, sb.codes_audio)) AS nc,
+                     sa.size AS za, sb.size AS zb
+              FROM vp
+              JOIN sk sa ON sa.clip_id = vp.a
+              JOIN sk sb ON sb.clip_id = vp.b
+            )
+            SELECT s.a, s.b, s.shared_bands, CAST(nc AS INT) AS n_common,
+                   round(nc * 1.0 / least(za, zb), 6) AS containment,
+                   round(nc * 1.0 / (za + zb - nc), 6) AS jaccard,
+                   s.lcs_len,
+                   (tp.a IS NOT NULL) AS is_true_dup
+            FROM scored s
+            LEFT JOIN tp ON tp.a = s.a AND tp.b = s.b
+        """,
+        # clips_recall_precision: the pipeline's predicted dup pairs and
+        # the planted truth pairs are staged; DuckDB re-derives the
+        # north-rule recall/precision from the same two tables.
+        "clips_recall_precision": f"""
+            WITH pred AS (SELECT * FROM read_parquet('{_aux_glob("clips_pred_pairs")}')),
+            tp AS (SELECT * FROM read_parquet('{_aux_glob("clips_truth_pairs")}')),
+            t AS (SELECT count(*) AS c FROM tp),
+            p AS (SELECT count(*) AS c FROM pred),
+            h AS (SELECT count(*) AS c FROM tp JOIN pred USING (a, b))
+            SELECT t.c AS n_true, p.c AS n_pred, h.c AS n_hit,
+                   round(h.c * 1.0 / t.c, 6) AS recall,
+                   round(h.c * 1.0 / p.c, 6) AS precision
+            FROM t, p, h
+        """,
+        # clips_chunked_matches: r=1 banding makes Spark's candidate set
+        # exhaustive for chunk Jaccard >= 0.5, so the all-pairs scan over
+        # the staged chunk sketches reproduces it exactly.
+        "clips_chunked_matches": f"""
+            WITH cs AS (SELECT * FROM read_parquet('{_aux_glob("clips_chunk_sketches")}')),
+            pairs AS (
+              SELECT x.clip_id AS a, x.chunk_idx AS a_chunk,
+                     y.clip_id AS b, y.chunk_idx AS b_chunk,
+                     len(list_intersect(x.codes, y.codes)) AS inter,
+                     x.size AS sx, y.size AS sy,
+                     x.n_chunks AS nx, y.n_chunks AS ny
+              FROM cs x JOIN cs y ON x.clip_id < y.clip_id
+            ), scored AS (
+              SELECT a, b, a_chunk, b_chunk,
+                     inter * 1.0 / greatest(sx + sy - inter, 1) AS chunk_jaccard,
+                     inter * 1.0 / greatest(least(sx, sy), 1) AS chunk_containment,
+                     nx, ny, least(nx, ny) AS min_n_chunks
+              FROM pairs
+            )
+            SELECT a, b,
+                   max(chunk_jaccard) AS best_chunk_jaccard,
+                   max(chunk_containment) AS best_chunk_containment,
+                   count(DISTINCT (a_chunk, b_chunk)) AS n_matched_chunks,
+                   count(DISTINCT CASE WHEN nx <= ny THEN a_chunk ELSE b_chunk END)
+                     * 1.0 / min(min_n_chunks) AS matched_chunk_frac
+            FROM scored WHERE chunk_jaccard >= 0.5
+            GROUP BY a, b
+        """,
         # clips_sketch_stats: the sketch kernel itself (audio decode +
         # FFT + MinHash) has no SQL equivalent and staging it as an aux
         # table would make the oracle a tautological self-read — kept
-        # rows-only by design.  Every other clips_* query is checked
-        # through aux tables (kernel output staged, plan mirrored in SQL).
+        # rows-only by design.
     }
 
 

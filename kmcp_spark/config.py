@@ -24,6 +24,12 @@ class SketchConfig:
     char_k: int = 6           # transcript character k-gram size (k analog)
     word_n: int = 3           # transcript word n-gram size
     audio_ngram: int = 4      # spectral-frame token n-gram size
+    # F4 minimum-query-length gate (kmcp's minQLen filter drops queries
+    # shorter than the k-mer size, `kmcp/cmd/util-db-search.go:778-786`):
+    # clips shorter than this cannot form a single audio shingle
+    # (frame_ms + (audio_ngram-1)*hop_ms = 55 ms at the defaults) and are
+    # dropped before sketching; the pipeline metrics record the count.
+    min_dur_ms: int = 60
     frame_ms: int = 25
     hop_ms: int = 10
     n_bands: int = 8
@@ -58,11 +64,21 @@ class VerifyConfig:
     """Candidate thresholds (analog of kmcp search -t/-T/-n/-f flags,
     `kmcp/cmd/util-db-search.go:7466-7493`)."""
 
-    min_est_jaccard: float = 0.5     # signature-estimated Jaccard gate
     min_containment: float = 0.7     # qCov analog for truncation dups
     max_simhash_hamming: int = 12
     min_common_substring: int = 24   # suffix-array verified LCS (chars)
     min_shared_bands: int = 1
+    # X9 wiring (kmcp's -f max FPR filter, `kmcp/cmd/util-fpr.go:32-50` /
+    # `util-db-search.go:7466-7493`): the EFFECTIVE shared-bands floor is
+    # max(min_shared_bands, smallest t with
+    #     query_fpr(bands, t, null_jaccard^rows_per_band) <= max_chance_fpr)
+    # — i.e. enough band votes that an unrelated pair (true Jaccard <=
+    # null_jaccard) reaches them by chance with probability <= the cap.
+    # default cap 1e-3 keeps the derived floor at 1 for the default
+    # 32x4 banding (P[>=1 chance collision] ~ 2e-4); tightening it to
+    # <=1e-4 raises the floor to 2 band votes, and so on
+    null_jaccard: float = 0.05
+    max_chance_fpr: float = 1e-3
     # per-domain "identical modality" paths (FIXTURES.md detection paths:
     # T2/T3 match on text alone, T4 matches on audio alone):
     min_domain_jaccard: float = 0.85
@@ -77,6 +93,10 @@ class PipelineConfig:
     checkpoint_dir: str = "_checkpoints"
     cc_max_iters: int = 50
     cc_checkpoint_every: int = 5
+    # weak-edge pruning before clustering (MegaPath-rule analog,
+    # `kmcp/cmd/profile.go:1357-1388`): edges scoring below alpha x the
+    # best incident score of both endpoints are dropped; 0 disables
+    cc_prune_alpha: float = 0.5
 
     def fingerprint(self) -> str:
         blob = json.dumps(asdict(self), sort_keys=True).encode()

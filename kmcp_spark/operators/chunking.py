@@ -76,12 +76,19 @@ def sketch_clips_chunked(
             totals: list[int] = []
             oks: list[bool] = []
             sets: list[np.ndarray] = []
-            for _, r in pdf.iterrows():
+            # list-zip, not iterrows: iterrows builds a pandas Series per
+            # row (observed slow-path in r1); columns are pulled once
+            for cid, buf, sr, codec in zip(
+                pdf["clip_id"].tolist(),
+                pdf["bytes"].tolist(),
+                pdf["sr_hz"].tolist(),
+                pdf["codec"].tolist(),
+            ):
                 try:
-                    pcm = decode_pcm(r["bytes"], r["codec"])
+                    pcm = decode_pcm(buf, codec)
                     tok = spectral_tokens(
                         pcm,
-                        int(r["sr_hz"]),
+                        int(sr),
                         frame_ms=sk.frame_ms,
                         hop_ms=sk.hop_ms,
                         n_bands=sk.n_bands,
@@ -103,7 +110,7 @@ def sketch_clips_chunked(
                         h = splitmix64(h, seed=_AUDIO_SALT)
                     else:
                         h = np.empty(0, dtype=_U64)
-                    ids.append(r["clip_id"])
+                    ids.append(cid)
                     idxs.append(ci)
                     totals.append(len(bounds))
                     oks.append(ok)
@@ -206,14 +213,24 @@ def aggregate_chunk_matches(
         (inter / F.greatest(F.least("ca.size", "cb.size"), F.lit(1))).alias(
             "chunk_containment"
         ),
+        F.col("ca.n_chunks").alias("na_chunks"),
+        F.col("cb.n_chunks").alias("nb_chunks"),
         F.least("ca.n_chunks", "cb.n_chunks").alias("min_n_chunks"),
     )
     matched = scored.filter(F.col("chunk_jaccard") >= min_chunk_jaccard)
+    # chunksFrac counts the matched chunks OF THE SMALLER CLIP over that
+    # same clip's chunk count (kmcp's chunksFrac is over the target's own
+    # chunks, `kmcp/cmd/profile.go:1018-1099`), so it is always <= 1;
+    # counting a's chunks over min(n_chunks) exceeded 1.0 whenever b was
+    # the shorter, embedded clip — the motivating case
+    small_side_chunk = F.when(
+        F.col("na_chunks") <= F.col("nb_chunks"), F.col("a_chunk")
+    ).otherwise(F.col("b_chunk"))
     return matched.groupBy("a", "b").agg(
         F.max("chunk_jaccard").alias("best_chunk_jaccard"),
         F.max("chunk_containment").alias("best_chunk_containment"),
         F.countDistinct("a_chunk", "b_chunk").alias("n_matched_chunks"),
         (
-            F.countDistinct("a_chunk") / F.max("min_n_chunks")
+            F.countDistinct(small_side_chunk) / F.min("min_n_chunks")
         ).alias("matched_chunk_frac"),
     )

@@ -4,17 +4,20 @@ final assignments, `kmcp/cmd/profile.go:761-2568`; our analog resolves
 verified dup pairs into duplicate clusters).
 
 Algorithm: iterative label propagation over the undirected pair graph.
-    label(v) <- min(label(v), min over neighbors label(u))
+    label(v) <- min(label(v), min over neighbors label(u))   (hash-min)
+    label(v) <- label(label(v))                              (pointer jump)
 implemented as a DataFrame join loop with
   - convergence check per iteration (count of changed labels == 0; the
     analog of the EM Δ-threshold stop, `kmcp/cmd/profile.go:2552-2568`),
-  - lineage truncation via ``localCheckpoint`` every
-    ``cc_checkpoint_every`` iterations (the analog of kmcp's multi-pass
-    file boundaries) so plans stay O(1) deep,
-  - O(log n) round bound in practice: each round halves the diameter of
-    every component because labels jump two hops (v takes the min over
-    its neighbors' *current* labels, which already absorbed their own
-    neighborhoods last round).
+    and a hard error if ``max_iters`` rounds pass without convergence —
+    a silently-split cluster is a recall bug, not a warning,
+  - lineage truncation via ``localCheckpoint`` every round so plans
+    stay O(1) deep,
+  - O(log d) rounds for diameter d: hash-min alone is one hop per round
+    (O(d) rounds on a chain); the pointer-jumping pass composes the
+    label map with itself each round, doubling propagation distance
+    (the star-contraction idea of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014).
 
 Output: clusters(clip_id string, cluster_id string, cluster_size bigint,
                   is_canonical boolean)
@@ -68,6 +71,21 @@ def connected_components(
                 (F.col("nbr_label") < F.col("cluster_id")).alias("changed"),
             )
         )
+        # pointer jump: label(v) <- label(label(v)).  Every label value
+        # is itself a node id with a label row, so the self-join always
+        # hits; composing the map with itself doubles the distance a
+        # minimum travels per round -> O(log diameter) rounds total.
+        lmap = new_labels.select(
+            F.col("clip_id").alias("cluster_id"), F.col("cluster_id").alias("_gp")
+        )
+        new_labels = (
+            new_labels.join(lmap, "cluster_id", "left")
+            .select(
+                "clip_id",
+                F.coalesce("_gp", F.col("cluster_id")).alias("cluster_id"),
+                "changed",
+            )
+        )
         # materialize each round: the convergence count would otherwise
         # recompute the whole lineage, and lineage must stay O(1) deep
         # (checkpoint_every kept for API compat; every-round is strictly
@@ -77,6 +95,11 @@ def connected_components(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "clusters would be silently split — raise max_iters"
+        )
     if all_nodes is not None:
         labels = (
             all_nodes.select("clip_id")
@@ -84,6 +107,44 @@ def connected_components(
             .select("clip_id", F.coalesce("cluster_id", F.col("clip_id")).alias("cluster_id"))
         )
     return labels
+
+
+def prune_weak_edges(
+    pairs: DataFrame, alpha: float = 0.5, score_col: str = "containment"
+) -> DataFrame:
+    """Drop verified edges dominated by stronger alternatives before CC.
+
+    The MegaPath-rule analog (`kmcp/cmd/profile.go:1357-1388`: matches
+    whose support is a small fraction of the best match for that query
+    are discarded before assignment).  Here an edge is kept iff its
+    score is >= ``alpha`` x the best incident score of AT LEAST ONE of
+    its endpoints — equivalently score >= alpha * min(best_a, best_b).
+    Every node's own best edge is always kept, so pruning can never
+    orphan a genuine duplicate; what it removes are weak one-off bridges
+    that would otherwise over-merge two dense clusters through a single
+    borderline pair.  ``alpha=0`` disables pruning.
+    """
+    if alpha <= 0:
+        return pairs
+    s = F.col(score_col)
+    per_node = (
+        pairs.select(F.col("a").alias("clip_id"), s.alias("_s"))
+        .union(pairs.select(F.col("b").alias("clip_id"), s.alias("_s")))
+        .groupBy("clip_id")
+        .agg(F.max("_s").alias("_best"))
+    )
+    return (
+        pairs.join(
+            per_node.withColumnRenamed("clip_id", "a").withColumnRenamed("_best", "_ba"),
+            "a",
+        )
+        .join(
+            per_node.withColumnRenamed("clip_id", "b").withColumnRenamed("_best", "_bb"),
+            "b",
+        )
+        .filter(s >= F.lit(alpha) * F.least("_ba", "_bb"))
+        .drop("_ba", "_bb")
+    )
 
 
 def cluster_report(labels: DataFrame) -> DataFrame:

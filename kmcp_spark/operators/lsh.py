@@ -14,13 +14,11 @@ partitions.
 Skew policy (the analog of kmcp's block-size escalation 256→8→1 for
 oversized groups, `kmcp/cmd/index.go:787-894` / flags `:1453-1463`):
 buckets whose membership exceeds ``max_bucket`` would pair-expand
-quadratically in one task; we exclude them from direct expansion and
-count them into the metrics table (callers see exactly what was
-skipped — no silent caps).  Members of an oversized bucket still pair
-through their other ``bands-1`` bands, which for near-duplicates almost
-surely collide too (P[all bands oversized] is negligible unless the
-corpus is one giant duplicate class — which the exact-hash short-circuit
-upstream removes).
+quadratically in one task; they are ESCALATED instead — each member is
+linked to the bucket's deterministic min/max anchors (O(size) edges),
+so a giant *near*-dup class that floods every band still reconnects
+through verified anchor edges in connected components.  Oversized
+buckets are also counted into the metrics table (no silent caps).
 """
 
 from __future__ import annotations
@@ -70,23 +68,57 @@ def candidate_pairs(
     Pair expansion is a self-join on the band key restricted to buckets
     with 1 < size <= max_bucket.  ``shared_bands`` counts how many bands
     voted for the pair (the analog of kmcp's per-target match count A2).
+
+    Oversized buckets are ESCALATED, not dropped (the analog of kmcp's
+    block-size escalation 256→8→1 for oversized groups,
+    `kmcp/cmd/index.go:787-894`): every member of an oversized bucket is
+    linked to the bucket's two deterministic anchors (min and max
+    clip_id).  That is O(size) edges instead of the O(size^2) expansion,
+    and if the bucket really is one giant near-dup class the anchor
+    edges pass exact verification and connected components restores the
+    full cluster; members whose anchor edges fail verify were
+    false-positive collisions and are correctly not clustered.  Anchors
+    come from one hash aggregation (min/max), so no per-bucket sort —
+    the escalation stays linear even for a 10^7-member bucket.
     """
     # bucket sizes via ONE hash aggregation (a window over the full
     # bucket table would recompute per consumer); the sizes relation is
     # small (#distinct buckets) → broadcast back onto buckets
-    sizes = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
+    sizes = buckets.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size"),
+        F.min("clip_id").alias("anchor_lo"),
+        F.max("clip_id").alias("anchor_hi"),
+    )
     ok_keys = sizes.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket))
     oversized = sizes.filter(F.col("bucket_size") > max_bucket)
     # no broadcast hint: AQE broadcasts when small; at 10^12-row scale the
     # dup-bucket key set can exceed driver memory, so the shuffle join on
     # the same key (no extra exchange for `pairs` below) must stay legal
     ok = buckets.join(ok_keys.select("band_id", "band_hash"), ["band_id", "band_hash"])
-    pairs = (
+    expanded = (
         ok.alias("l")
         .join(ok.alias("r"), ["band_id", "band_hash"])
         .filter(F.col("l.clip_id") < F.col("r.clip_id"))
         .select(F.col("l.clip_id").alias("a"), F.col("r.clip_id").alias("b"))
+    )
+    # escalation edges: member -> {min, max} anchor of its oversized bucket
+    over_members = buckets.join(
+        oversized.select("band_id", "band_hash", "anchor_lo", "anchor_hi"),
+        ["band_id", "band_hash"],
+    )
+    escalated = (
+        over_members.select(
+            "clip_id", F.explode(F.array("anchor_lo", "anchor_hi")).alias("anchor")
+        )
+        .filter(F.col("clip_id") != F.col("anchor"))
+        .select(
+            F.least("clip_id", "anchor").alias("a"),
+            F.greatest("clip_id", "anchor").alias("b"),
+        )
+    )
+    pairs = (
+        expanded.union(escalated)
         .groupBy("a", "b")
         .agg(F.count("*").alias("shared_bands"))
     )
-    return pairs, oversized
+    return pairs, oversized.drop("anchor_lo", "anchor_hi")

@@ -31,14 +31,20 @@ def audio_features(clips: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            # list-zip, not iterrows (no per-row Series construction)
+            for cid, buf, sr, codec in zip(
+                pdf["clip_id"].tolist(),
+                pdf["bytes"].tolist(),
+                pdf["sr_hz"].tolist(),
+                pdf["codec"].tolist(),
+            ):
                 try:
-                    pcm = decode_pcm(r["bytes"], r["codec"])
-                    tok = spectral_tokens(pcm, int(r["sr_hz"]))
+                    pcm = decode_pcm(buf, codec)
+                    tok = spectral_tokens(pcm, int(sr))
                     zc = int(((pcm[:-1] * pcm[1:]) < 0).sum()) if len(pcm) > 1 else 0
                     rows.append(
                         dict(
-                            clip_id=r["clip_id"],
+                            clip_id=cid,
                             n_samples=len(pcm),
                             rms=float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0,
                             peak=float(np.abs(pcm).max()) if len(pcm) else 0.0,
@@ -51,7 +57,7 @@ def audio_features(clips: DataFrame) -> DataFrame:
                 except (NotImplementedError, ValueError):
                     rows.append(
                         dict(
-                            clip_id=r["clip_id"], n_samples=0, rms=0.0, peak=0.0,
+                            clip_id=cid, n_samples=0, rms=0.0, peak=0.0,
                             zero_crossings=0, n_frames=0, dominant_band=-1,
                             decode_ok=False,
                         )
@@ -74,12 +80,17 @@ def frame_sample(clips: DataFrame, every_ms: int = 500, max_frames: int = 16) ->
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for cid, buf, sr, codec in zip(
+                pdf["clip_id"].tolist(),
+                pdf["bytes"].tolist(),
+                pdf["sr_hz"].tolist(),
+                pdf["codec"].tolist(),
+            ):
                 try:
-                    pcm = decode_pcm(r["bytes"], r["codec"])
+                    pcm = decode_pcm(buf, codec)
                 except (NotImplementedError, ValueError):
                     continue
-                sr = int(r["sr_hz"])
+                sr = int(sr)
                 step = max(int(sr * every_ms / 1000), 1)
                 win = max(int(sr * 0.1), 1)  # 100 ms windows
                 for k, s0 in enumerate(range(0, len(pcm), step)):
@@ -88,7 +99,7 @@ def frame_sample(clips: DataFrame, every_ms: int = 500, max_frames: int = 16) ->
                     w = pcm[s0 : s0 + win]
                     rows.append(
                         dict(
-                            clip_id=r["clip_id"],
+                            clip_id=cid,
                             frame_idx=k,
                             t_ms=int(s0 / sr * 1000),
                             frame_bytes=(np.clip(w, -1, 1) * 32767).astype("<i2").tobytes(),
@@ -125,18 +136,18 @@ def image_features(items: DataFrame, id_col: str = "item_id", bytes_col: str = "
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for iid, buf in zip(pdf[id_col].tolist(), pdf[bytes_col].tolist()):
                 try:
-                    img = decode_image_stub(r[bytes_col])
+                    img = decode_image_stub(buf)
                     rows.append(
                         dict(
-                            item_id=r[id_col], width=img.shape[1], height=img.shape[0],
+                            item_id=iid, width=img.shape[1], height=img.shape[0],
                             mean_luma=float(img.mean()), decode_ok=True,
                         )
                     )
                 except NotImplementedError:
                     rows.append(
-                        dict(item_id=r[id_col], width=-1, height=-1, mean_luma=0.0, decode_ok=False)
+                        dict(item_id=iid, width=-1, height=-1, mean_luma=0.0, decode_ok=False)
                     )
             yield pd.DataFrame(rows)
 

@@ -156,6 +156,28 @@ def _cov2simi_col(q):
     return F.round(F.least(F.greatest(s, F.lit(0.0)), F.lit(100.0)), 3)
 
 
+def min_bands_for_fpr(
+    bands: int, rows_per_band: int, null_jaccard: float, max_chance_fpr: float
+) -> int:
+    """Smallest shared-bands threshold t such that an UNRELATED pair
+    (true Jaccard <= null_jaccard) reaches t band collisions by chance
+    with probability <= max_chance_fpr.
+
+    This is the X9 query-FPR gate wired into the pipeline (kmcp filters
+    matches on FPR<=f, `kmcp/cmd/util-db-search.go:7466-7493` /
+    `util-fpr.go:32-50`): per-band collision prob for Jaccard s is s^r,
+    and the tail P[X >= t], X ~ Binom(bands, s^r), is the chance-match
+    probability the threshold caps.
+    """
+    from kmcp_spark.functions.stats import query_fpr
+
+    p_band = null_jaccard ** rows_per_band
+    for t in range(1, bands + 1):
+        if query_fpr(bands, t, p_band) <= max_chance_fpr:
+            return t
+    return bands
+
+
 def verify_pairs(
     scored: DataFrame, clips: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
@@ -166,6 +188,12 @@ def verify_pairs(
     pushdown, `kmcp/cmd/util-profile.go:105-133`).
     """
     v = cfg.verify
+    eff_min_bands = max(
+        v.min_shared_bands,
+        min_bands_for_fpr(
+            cfg.lsh.bands, cfg.lsh.rows_per_band, v.null_jaccard, v.max_chance_fpr
+        ),
+    )
     domain_path = (
         # one modality is (near-)identical and substantial: T4 (same
         # audio, edited transcript) or T2/T3 (same transcript)
@@ -179,7 +207,7 @@ def verify_pairs(
         )
     )
     plausible = scored.filter(
-        (F.col("shared_bands") >= v.min_shared_bands)
+        (F.col("shared_bands") >= eff_min_bands)
         & ((F.col("containment") >= v.min_containment) | domain_path)
     )
     tr = clips.select("clip_id", "transcript")

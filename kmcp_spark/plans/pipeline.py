@@ -20,7 +20,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kmcp_spark.config import PipelineConfig
-from kmcp_spark.operators.cluster import cluster_report, connected_components
+from kmcp_spark.operators.cluster import (
+    cluster_report,
+    connected_components,
+    prune_weak_edges,
+)
 from kmcp_spark.operators.lsh import band_buckets, bucket_stats, candidate_pairs
 from kmcp_spark.operators.sketch import sketch_clips
 from kmcp_spark.operators.verify import score_pairs, verify_pairs
@@ -92,6 +96,14 @@ class DedupPipeline:
     ) -> PipelineResult:
         cfg = self.cfg
 
+        # F4 minimum-query-length gate (kmcp drops queries shorter than
+        # the k-mer size, `kmcp/cmd/util-db-search.go:778-786`): clips too
+        # short to form a single audio shingle are excluded from dedup.
+        # The predicate is a pushed-down parquet filter (no extra stage);
+        # the gated count is recorded in the metrics file.
+        if cfg.sketch.min_dur_ms > 0:
+            clips = clips.filter(F.col("dur_ms") >= cfg.sketch.min_dur_ms)
+
         # exact-duplicate short-circuit (T0 / byte-identical): one JVM
         # hash-agg groups identical (bytes, transcript) rows; only one
         # representative per group flows through decode/sketch/LSH.  At
@@ -150,8 +162,12 @@ class DedupPipeline:
         verified = self._stage("verified", build_verified, force=force)
 
         def build_clusters():
+            # MegaPath-analog weak-edge pruning: dominated borderline
+            # edges are dropped so one weak bridge cannot over-merge two
+            # dense clusters (`kmcp/cmd/profile.go:1357-1388`)
+            edges = prune_weak_edges(verified, alpha=cfg.cc_prune_alpha)
             labels_rep = connected_components(
-                verified,
+                edges,
                 all_nodes=sketches.select("clip_id"),
                 max_iters=cfg.cc_max_iters,
                 checkpoint_every=cfg.cc_checkpoint_every,

@@ -1,0 +1,200 @@
+"""Round-2 pipeline hardening: F4 length gate, X9 FPR-derived band
+floor, oversized-bucket escalation, weak-edge pruning, pointer-jumping
+CC convergence, and the matched_chunk_frac fix."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kmcp_spark.config import LSHConfig, PipelineConfig, SketchConfig
+from kmcp_spark.operators.cluster import connected_components, prune_weak_edges
+from kmcp_spark.operators.lsh import band_buckets, candidate_pairs
+from kmcp_spark.operators.verify import min_bands_for_fpr
+
+
+# ------------------------------------------------------------- X9 FPR gate
+
+def test_min_bands_for_fpr_defaults_and_monotonicity():
+    # defaults (32 bands, r=4, null J=0.05): P[>=1 chance collision]
+    # ~ 32 * 0.05^4 = 2e-4, under the default 1e-3 cap -> floor stays 1
+    assert min_bands_for_fpr(32, 4, 0.05, 1e-3) == 1
+    # tightening the cap can only raise the threshold
+    ts = [min_bands_for_fpr(32, 4, 0.05, f) for f in (1e-2, 1e-4, 1e-12, 1e-20)]
+    assert ts == sorted(ts) and ts[1] == 2 and ts[-1] > 2
+    # a noisier null (higher per-band collision prob) raises it too
+    assert min_bands_for_fpr(32, 1, 0.5, 1e-4) > 1
+
+
+# ------------------------------------------------------------ F4 dur gate
+
+def test_min_dur_gate_excludes_short_clips(spark, tmp_out):
+    from kmcp_spark.corpus import make_rows
+    from kmcp_spark.plans.pipeline import DedupPipeline
+
+    pdf = make_rows(np.arange(20), min_dur_s=0.5, max_dur_s=1.0)
+    clips = spark.createDataFrame(
+        pdf.drop(columns=["cluster_id", "transform"])
+    ).withColumn(
+        "dur_ms",
+        F.when(F.col("clip_id") == "clip_0000000001", F.lit(30)).otherwise(
+            F.col("dur_ms")
+        ),
+    )
+    res = DedupPipeline(spark, PipelineConfig(), tmp_out).run(clips)
+    ids = {r.clip_id for r in res.clusters.select("clip_id").collect()}
+    assert "clip_0000000001" not in ids and "clip_0000000000" in ids
+
+    cfg_open = PipelineConfig(sketch=SketchConfig(min_dur_ms=0))
+    res2 = DedupPipeline(spark, cfg_open, tmp_out + "_open").run(clips)
+    ids2 = {r.clip_id for r in res2.clusters.select("clip_id").collect()}
+    assert "clip_0000000001" in ids2
+
+
+# ------------------------------------------------- oversized-bucket rescue
+
+def _connected(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    return len({find(n) for n in nodes}) == 1
+
+
+def test_oversized_bucket_escalation_links_members(spark):
+    """A bucket over max_bucket must emit anchor edges that keep its
+    members in one connected component (kmcp escalates oversized blocks
+    256->8->1 instead of dropping them, `kmcp/cmd/index.go:787-894`)."""
+    members = [f"c{i:02d}" for i in range(12)]
+    buckets = spark.createDataFrame(
+        [(m, 0, 12345) for m in members]
+        + [("x1", 1, 777), ("x2", 1, 777)],
+        "clip_id string, band_id int, band_hash bigint",
+    )
+    pairs, oversized = candidate_pairs(buckets, max_bucket=10)
+    got = [(r.a, r.b) for r in pairs.collect()]
+    assert oversized.count() == 1
+    # the small bucket still pair-expands fully
+    assert ("x1", "x2") in got
+    # escalated bucket: members form one connected component via anchors
+    esc = [(a, b) for a, b in got if a.startswith("c")]
+    assert len(esc) < 12 * 11 // 2  # NOT quadratic expansion
+    assert _connected(esc, members)
+
+
+def test_pipeline_recall_with_giant_near_dup_class(spark, tmp_out):
+    """Plant a near-dup (NOT byte-identical) class larger than max_bucket;
+    escalation must still deliver dup-pair recall >= 0.99."""
+    from kmcp_spark.corpus import _base_clip, _encode, make_rows
+    from kmcp_spark.plans.pipeline import DedupPipeline, dup_pairs_from_clusters
+
+    pcm, sr, codec, words, _ = _base_clip(42, 7_000_001, 0.5, 0.8)
+    rows = []
+    n_class = 20
+    for i in range(n_class):
+        g = 1.0 - 0.02 * i  # distinct gains -> distinct bytes, same tokens
+        rows.append(
+            {
+                "clip_id": f"dup_{i:03d}",
+                "bytes": _encode(pcm * g, sr, "wav"),
+                "sr_hz": sr,
+                "dur_ms": int(round(len(pcm) / sr * 1000)),
+                "codec": "wav",
+                "transcript": " ".join(words),
+            }
+        )
+    others = make_rows(np.arange(20, 40), min_dur_s=0.5, max_dur_s=0.8).drop(
+        columns=["cluster_id", "transform"]
+    )
+    clips = spark.createDataFrame(pd.concat([pd.DataFrame(rows), others]))
+    cfg = PipelineConfig(lsh=LSHConfig(max_bucket=8))
+    res = DedupPipeline(spark, cfg, tmp_out).run(clips)
+    found = {
+        (r.a, r.b)
+        for r in dup_pairs_from_clusters(res.clusters).collect()
+        if r.a.startswith("dup_")
+    }
+    want = {
+        (f"dup_{i:03d}", f"dup_{j:03d}")
+        for i in range(n_class)
+        for j in range(i + 1, n_class)
+    }
+    recall = len(found & want) / len(want)
+    assert recall >= 0.99, f"recall={recall}"
+
+
+# ------------------------------------------------------- weak-edge pruning
+
+def test_prune_weak_edges_drops_bridge_keeps_best(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2", 1.0),
+            ("a2", "a3", 0.95),
+            ("b1", "b2", 1.0),
+            ("a3", "b1", 0.3),   # weak bridge between two dense clusters
+            ("c1", "c2", 0.2),   # isolated weak pair: each node's best
+        ],
+        "a string, b string, containment double",
+    )
+    kept = {(r.a, r.b) for r in prune_weak_edges(edges, alpha=0.5).collect()}
+    assert ("a3", "b1") not in kept
+    assert kept == {("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("c1", "c2")}
+    # alpha=0 disables pruning
+    assert prune_weak_edges(edges, alpha=0.0).count() == 5
+
+
+# ------------------------------------------- CC pointer-jump convergence
+
+def test_cc_chain_converges_logarithmically(spark):
+    """A 64-node chain needs ~63 one-hop rounds; pointer jumping must
+    finish well inside 12."""
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
+    pairs = spark.createDataFrame(chain, "a string, b string")
+    labels = connected_components(pairs, max_iters=12)
+    got = {r.cluster_id for r in labels.collect()}
+    assert got == {"n000"}
+
+
+def test_cc_raises_on_non_convergence(spark):
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
+    pairs = spark.createDataFrame(chain, "a string, b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+
+
+# --------------------------------------------------- matched_chunk_frac
+
+def test_matched_chunk_frac_counts_smaller_side(spark):
+    """Short clip B (2 chunks) embedded in long clip A (4 chunks): three
+    chunk matches touch 3 distinct A-chunks; the old numerator/denominator
+    mix gave 3/2 = 1.5, the fraction of B's own matched chunks is 1.0."""
+    from kmcp_spark.operators.chunking import aggregate_chunk_matches
+
+    codes = [int(x) for x in range(20)]
+    sk = spark.createDataFrame(
+        [
+            ("A", 0, codes, 20, 4),
+            ("A", 1, codes, 20, 4),
+            ("A", 2, codes, 20, 4),
+            ("A", 3, codes, 20, 4),
+            ("B", 0, codes, 20, 2),
+            ("B", 1, codes, 20, 2),
+        ],
+        "clip_id string, chunk_idx int, codes array<bigint>, size bigint, n_chunks int",
+    )
+    pairs = spark.createDataFrame(
+        [("A", 1, "B", 0, 3), ("A", 2, "B", 1, 3), ("A", 3, "B", 1, 3)],
+        "a string, a_chunk int, b string, b_chunk int, shared_bands bigint",
+    )
+    out = aggregate_chunk_matches(pairs, sk, min_chunk_jaccard=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_matched_chunks == 3
+    assert 0.0 < r.matched_chunk_frac <= 1.0
+    assert abs(r.matched_chunk_frac - 1.0) < 1e-12
