@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": lambda sp, sf: D.ngram_containment_pairs(
             _t(sp, sf, "documents"), n=3, threshold=0.6
         ),
+        "dedup_multi_k": lambda sp, sf: D.multi_k_dup_pairs(
+            _t(sp, sf, "documents"), ks=(5, 4, 3), threshold=0.4
+        ),
         # --- the clip pipeline itself, driven on a deterministic
         # synthetic corpus (input_hint schema).  The audio kernels have
         # no SQL equivalent, so their outputs are staged as aux tables
@@ -366,6 +369,45 @@ def _qcos(x: str, y: str) -> str:
     )
 
 
+def _multi_k_sql(ks: tuple[int, ...] = (5, 4, 3), thr: float = 0.4) -> str:
+    """SQL mirror of multi_k_dup_pairs: exact Jaccard pairs per n-gram
+    size, each level anti-joined against all larger levels (kmcp's
+    descending-k probe order)."""
+    parts = ["WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"]
+    for n in sorted(ks, reverse=True):
+        parts.append(f""",
+g{n} AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(ws[i:i+{n - 1}], ' ')
+                               for i in range(1, len(ws) - {n - 2})])) AS gram
+  FROM w WHERE len(ws) >= {n}
+),
+z{n} AS (SELECT doc_id, count(*) AS n_grams FROM g{n} GROUP BY doc_id),
+q{n} AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common,
+         count(*) / (any_value(za.n_grams) + any_value(zb.n_grams) - count(*)) AS jaccard
+  FROM g{n} l
+  JOIN g{n} r USING (gram)
+  JOIN z{n} za ON za.doc_id = l.doc_id
+  JOIN z{n} zb ON zb.doc_id = r.doc_id
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) / (any_value(za.n_grams) + any_value(zb.n_grams) - count(*)) >= {thr}
+)""")
+    selects = []
+    desc = sorted(ks, reverse=True)
+    for i, n in enumerate(desc):
+        anti = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM q{m} x WHERE x.a = q{n}.a AND x.b = q{n}.b)"
+            for m in desc[:i]
+        )
+        selects.append(
+            f"SELECT a, b, n_common, jaccard, CAST({n} AS INT) AS gram_n FROM q{n}"
+            + (f" WHERE {anti}" if anti else "")
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 12, n_tables: int = 4) -> str:
     """Full SQL mirror of hyperplane_lsh_topk: the quantized int64 planes
     are embedded as literals, so DuckDB reproduces every bucket sign bit
@@ -426,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "dedup_multi_k": _multi_k_sql(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_docs,
                    min(doc_id) AS min_doc_id

@@ -91,7 +91,52 @@ def bench_queries(sf_dir: str, cores: int) -> dict[str, float]:
 
 # ---------------------------------------------------------------- scaling
 
-def bench_scaling(cores_hi: int, n_clips: int) -> dict:
+def _host_probe(procs: int = 8) -> float:
+    """Health probe: tasks/s of the sketch-kernel microbench (no Spark).
+    This shared VM's co-tenant load swings timings 2-3x; legs taken in a
+    degraded window are noise, so every leg is annotated with the probe."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "host_probe.py"), str(procs)],
+            capture_output=True, text=True, timeout=300,
+        )
+        return float(json.loads(r.stdout.strip().splitlines()[-1])["tasks_per_sec"][str(procs)])
+    except Exception as ex:
+        log("host probe failed:", ex)
+        return -1.0
+
+
+def _one_leg(cores: int, corpus_path: str) -> dict:
+    out_dir = os.path.join(REPO, f"_bench_pipe_{cores}")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-run", str(cores), corpus_path, out_dir],
+        capture_output=True, text=True, timeout=3000,
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    if r.returncode != 0:
+        log("pipeline-run failed:", r.stderr[-2000:])
+        raise RuntimeError(f"pipeline run at {cores} cores failed")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int = 2) -> dict:
+    """North-rule scaling evidence: the same pipeline on the same corpus
+    at N and 4N cores (the sandbox stand-in for N vs 4N executors).
+
+    Methodology (drift defenses, in response to the r1 host-noise
+    artifact): legs are INTERLEAVED (N, 4N, N, 4N, ...) so slow host
+    windows hit both core counts equally; each leg is a fresh JVM whose
+    reported wall is steady-state (first in-JVM pass = warmup, min-of-2);
+    the figure is the median leg per core count; samples implying
+    super-linear efficiency (> 1.05) are physically impossible here and
+    trigger extra rounds instead of being reported.
+    """
     from kmcp_spark.config import get_spark
     from kmcp_spark.corpus import generate_clips
 
@@ -105,7 +150,7 @@ def bench_scaling(cores_hi: int, n_clips: int) -> dict:
             need = True
     if need:
         log(f"generating bench corpus n={n_clips} ...")
-        spark = get_spark(app="bench_gen", cores=cores_hi)
+        spark = get_spark(app="bench_gen", cores=32)
         clips, _ = generate_clips(spark, n_clips, min_dur_s=1.0, max_dur_s=5.0)
         shutil.rmtree(corpus_path, ignore_errors=True)
         clips.write.parquet(corpus_path)
@@ -113,34 +158,46 @@ def bench_scaling(cores_hi: int, n_clips: int) -> dict:
         json.dump({"n": n_clips}, open(marker, "w"))
 
     cores_lo = max(cores_hi // 4, 1)
-    results = {}
-    for cores in (cores_lo, cores_hi):
-        out_dir = os.path.join(REPO, f"_bench_pipe_{cores}")
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-run", str(cores), corpus_path, out_dir],
-            capture_output=True, text=True, timeout=3000,
-        )
-        if r.returncode != 0:
-            log("pipeline-run failed:", r.stderr[-2000:])
-            raise RuntimeError(f"pipeline run at {cores} cores failed")
-        payload = json.loads(r.stdout.strip().splitlines()[-1])
-        results[cores] = payload
-        log(f"  local[{cores}]: {payload['wall_sec']:.1f}s "
-            f"({payload['n_clips']/payload['wall_sec']:.1f} clips/s)")
-        shutil.rmtree(out_dir, ignore_errors=True)
-    t_lo, t_hi = results[cores_lo]["wall_sec"], results[cores_hi]["wall_sec"]
+    walls: dict[int, list[float]] = {cores_lo: [], cores_hi: []}
+    stage_ms: dict[int, dict] = {}
+    probes: list[float] = []
+    r = 0
+    while r < rounds:
+        probes.append(_host_probe())
+        for cores in (cores_lo, cores_hi):
+            payload = _one_leg(cores, corpus_path)
+            walls[cores].append(payload["wall_sec"])
+            stage_ms[cores] = payload["stage_ms"]
+            log(f"  round {r} local[{cores}]: {payload['wall_sec']:.1f}s "
+                f"({n_clips / payload['wall_sec']:.1f} clips/s, probe {probes[-1]:.0f} t/s)")
+        r += 1
+        t_lo, t_hi = _median(walls[cores_lo]), _median(walls[cores_hi])
+        eff = (t_lo / t_hi) / (cores_hi / cores_lo)
+        if r >= rounds and eff > 1.05 and r < rounds + max_extra:
+            log(f"  super-linear eff {eff:.3f} — host noise, running an extra round")
+            rounds += 1
+    t_lo, t_hi = _median(walls[cores_lo]), _median(walls[cores_hi])
     eff = (t_lo / t_hi) / (cores_hi / cores_lo)
+    # min-of-legs pairs each core count's BEST window; because legs
+    # interleave, a healthy host window reaches both counts, so the min
+    # figure approximates dedicated hardware when degradation is
+    # intermittent (reported alongside, median stays the headline)
+    m_lo, m_hi = min(walls[cores_lo]), min(walls[cores_hi])
     return {
         "n_clips": n_clips,
         "cores_n": cores_lo,
         "cores_4n": cores_hi,
         "wall_sec_n": round(t_lo, 2),
         "wall_sec_4n": round(t_hi, 2),
+        "wall_samples_n": [round(x, 2) for x in walls[cores_lo]],
+        "wall_samples_4n": [round(x, 2) for x in walls[cores_hi]],
+        "host_probe_tasks_per_sec": probes,
         "clips_per_sec_n": round(n_clips / t_lo, 2),
         "clips_per_sec_4n": round(n_clips / t_hi, 2),
         "scaling_efficiency": round(eff, 3),
-        "stage_ms_n": results[cores_lo]["stage_ms"],
-        "stage_ms_4n": results[cores_hi]["stage_ms"],
+        "scaling_efficiency_min_legs": round((m_lo / m_hi) / (cores_hi / cores_lo), 3),
+        "stage_ms_n": stage_ms[cores_lo],
+        "stage_ms_4n": stage_ms[cores_hi],
     }
 
 
@@ -158,7 +215,7 @@ def main() -> None:
     result = {
         "metric": "clips_per_sec_4n(dedup pipeline, N vs 4N cores)",
         "value": None,
-        "unit": "sec",
+        "unit": "clips/sec",
         "queries": qtimes,
         "sf": sf,
         "total_query_sec": round(sum(v for v in qtimes.values() if v > 0), 2),
@@ -178,8 +235,10 @@ def main() -> None:
             log("scaling bench failed:", ex)
             result["scaling_error"] = str(ex)[:300]
             result["value"] = result["total_query_sec"]
+            result["unit"] = "sec"
     else:
         result["value"] = result["total_query_sec"]
+        result["unit"] = "sec"
     result["bench_wall_sec"] = round(time.time() - t0, 1)
     print(json.dumps(result))
 

@@ -216,19 +216,23 @@ def minhash_lsh_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates re-verified with exact n-gram Jaccard.
 
-    ``high_recall=True`` uses r=1 banding (a pair collides if ANY of the
-    ``num_perm`` minima agree): miss probability (1-s)^num_perm, i.e.
-    < 1e-38 at s=0.5, num_perm=128 — effectively exhaustive, so the
-    result equals the exact-Jaccard pair set and a SQL oracle can check
-    it.  ``high_recall=False`` uses classic 32x4 banding (the
-    production configuration; probabilistic recall 1-(1-s^4)^32).
+    ``high_recall=True`` uses r=2 banding over all 128 positions (64
+    bands): miss probability (1-s^2)^64 <= 1.4e-5 at the s=0.4
+    threshold and < 1e-12 at s=0.6 — the result is the exact-Jaccard
+    pair set (SQL-oracle checkable) with negligible miss risk, while
+    unrelated pairs (background s ~ 0.02) collide with prob ~ 2.6e-2,
+    so candidate volume stays near-linear.  r=1 banding was tried and
+    rejected: ANY shared minimum makes a candidate, and at background
+    s=0.02 that is 1-(0.98)^128 ~ 0.92 of ALL pairs — the "LSH" became
+    an all-pairs join.  ``high_recall=False`` uses classic 32x4 banding
+    (the production configuration; probabilistic recall 1-(1-s^4)^32).
     """
     # empty-gram docs carry the all-max sentinel signature and would
     # collide with each other in every band — they have no content to
     # verify, so they are excluded from banding outright
     sigs = doc_signatures(docs, n=n, num_perm=num_perm).filter(F.col("n_grams") > 0)
     if high_recall:
-        cand = lsh_candidates(sigs, bands=num_perm, rows_per_band=1)
+        cand = lsh_candidates(sigs, bands=num_perm // 2, rows_per_band=2)
     else:
         cand = lsh_candidates(sigs, bands=num_perm // 4, rows_per_band=4)
     # exact verification of CANDIDATES ONLY: join the candidate pairs to
@@ -249,7 +253,8 @@ def minhash_lsh_dup_pairs(
         .select(
             "a",
             "b",
-            inter.alias("n_common"),
+            # bigint to match the SQL oracle's count(*) dtype exactly
+            inter.cast("bigint").alias("n_common"),
             (inter / (F.col("_na") + F.col("_nb") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -344,6 +349,39 @@ def simhash_pairs_from_sigs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def multi_k_dup_pairs(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (5, 4, 3),
+    threshold: float = 0.4,
+    num_perm: int = 128,
+) -> DataFrame:
+    """Multi-k probe: the kmcp multiple-k search analog.
+
+    kmcp probes each query at several k-mer sizes in DESCENDING order
+    and keeps the first (largest) k that produces matches
+    (`kmcp/cmd/util-db-search.go:763-1025` loops ks desc).  Here each
+    n-gram size runs the full sketch -> LSH -> exact-verify path; a pair
+    is reported at the LARGEST n where it passes the threshold (tagged
+    ``gram_n``), and smaller n only contribute pairs the larger shingles
+    missed — catching near-dups whose shared text is too fragmented to
+    form long common n-grams.  Each level is one left-anti join against
+    the union of larger levels (len(ks) is small and static).
+    """
+    out: DataFrame | None = None
+    for n in sorted(ks, reverse=True):
+        p = minhash_lsh_dup_pairs(
+            docs, n=n, threshold=threshold, num_perm=num_perm
+        ).select("a", "b", "n_common", "jaccard", F.lit(n).alias("gram_n"))
+        if out is None:
+            out = p
+        else:
+            out = out.unionByName(
+                p.join(out.select("a", "b"), ["a", "b"], "left_anti")
+            )
+    assert out is not None
+    return out
 
 
 def ngram_containment_pairs(

@@ -135,13 +135,18 @@ class DedupPipeline:
             "sketches", lambda: sketch_clips(rep_clips, cfg), force=force
         )
 
-        # NOTE: no partitionBy("band_id") on the checkpoint — downstream
-        # consumes all bands, and a partitioned write multiplies file
-        # count by the band fan-out (observed 12x slowdown at local[32])
-        buckets = self._stage(
-            "buckets",
-            lambda: band_buckets(sketches, cfg.lsh.bands, cfg.lsh.rows_per_band),
-            force=force,
+        # buckets is a VIRTUAL stage: a narrow JVM map (slice + xxhash64)
+        # derived 1:1 from the sketches checkpoint, so persisting it
+        # in-memory beats a parquet round-trip (r1 paid a write + read +
+        # count per run for a relation that is never a useful resume
+        # point — it rebuilds in milliseconds from sketches).  No
+        # partitionBy("band_id") for the same reason as before: a
+        # partitioned write multiplies file count by the band fan-out
+        # (observed 12x slowdown at local[32]).
+        from pyspark import StorageLevel
+
+        buckets = band_buckets(sketches, cfg.lsh.bands, cfg.lsh.rows_per_band).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
 
         def build_pairs():

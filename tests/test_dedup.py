@@ -103,6 +103,24 @@ def test_simhash_bands_reject_too_small():
         D.simhash_pairs_from_sigs(None, max_hamming=8, n_bands=8)
 
 
+def test_multi_k_reports_largest_passing_gram(spark):
+    """kmcp probes ks descending and keeps the largest k that matches;
+    near-identical docs must surface at gram_n=5 while a pair whose
+    overlap is too fragmented for 5-grams surfaces at a smaller n."""
+    frag_a = "alpha beta gamma delta xx epsilon zeta eta theta yy iota kappa lam mu"
+    frag_b = "alpha beta gamma delta zz epsilon zeta eta theta qq iota kappa lam mu"
+    docs = _docs(spark, [BASE, BASE + " tail", frag_a, frag_b])
+    out = {(r.a, r.b): r.gram_n for r in D.multi_k_dup_pairs(
+        docs, ks=(5, 4, 3), threshold=0.3
+    ).collect()}
+    assert out[(0, 1)] == 5          # near-identical -> largest k wins
+    assert out[(2, 3)] in (3, 4)     # fragmented overlap -> smaller k
+    # each pair reported exactly once (dict construction would hide dups,
+    # so check the raw count)
+    rows = D.multi_k_dup_pairs(docs, ks=(5, 4, 3), threshold=0.3).collect()
+    assert len(rows) == len({(r.a, r.b) for r in rows})
+
+
 def test_nul_byte_does_not_split_shingles():
     """A literal U+0000 inside a transcript must not act as a row
     separator (ADVICE r1)."""
