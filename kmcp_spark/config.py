@@ -97,6 +97,10 @@ class PipelineConfig:
     # `kmcp/cmd/profile.go:1357-1388`): edges scoring below alpha x the
     # best incident score of both endpoints are dropped; 0 disables
     cc_prune_alpha: float = 0.5
+    # EM-style post-CC reassignment over the unpruned edges (the
+    # profiler's stage-4 multi-mapped read reassignment analog,
+    # `kmcp/cmd/profile.go:2075-2117`); 0 disables
+    em_reassign_iters: int = 1
 
     def fingerprint(self) -> str:
         blob = json.dumps(asdict(self), sort_keys=True).encode()

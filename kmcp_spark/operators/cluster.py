@@ -147,6 +147,53 @@ def prune_weak_edges(
     )
 
 
+def reassign_by_support(
+    labels: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "containment",
+    iters: int = 1,
+) -> DataFrame:
+    """EM-style ambiguity reassignment (the analog of kmcp profile's
+    stage-4 multi-mapped read reassignment, `kmcp/cmd/profile.go:2075-2117`:
+    a read mapping several references is re-assigned to the one with
+    dominant accumulated support).
+
+    Each iteration: a node's support for a cluster is the sum of its
+    verified-edge scores into members currently labeled with that
+    cluster; the node moves to its argmax-support cluster (ties broken
+    by smaller cluster id; nodes without edges keep their label).  Run
+    AFTER connected components with the UNPRUNED edge set, this lets a
+    node that weak-edge pruning separated from its best-supported
+    cluster rejoin it — the pruning decides graph connectivity, the
+    reassignment decides final membership, exactly the stage-3/stage-4
+    split of the reference profiler.
+    """
+    w = F.col(score_col)
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), w.alias("_w")
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), w.alias("_w")))
+    for _ in range(iters):
+        support = (
+            edges.join(labels.withColumnRenamed("clip_id", "dst"), "dst")
+            .groupBy("src", "cluster_id")
+            .agg(F.sum("_w").alias("_support"))
+        )
+        win = Window.partitionBy("src").orderBy(F.desc("_support"), F.asc("cluster_id"))
+        best = (
+            support.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("src").alias("clip_id"), F.col("cluster_id").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "clip_id", "left")
+            .select(
+                "clip_id", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def cluster_report(labels: DataFrame) -> DataFrame:
     """labels -> clusters with size + deterministic canonical member.
 

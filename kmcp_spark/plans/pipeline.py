@@ -24,6 +24,7 @@ from kmcp_spark.operators.cluster import (
     cluster_report,
     connected_components,
     prune_weak_edges,
+    reassign_by_support,
 )
 from kmcp_spark.operators.lsh import band_buckets, bucket_stats, candidate_pairs
 from kmcp_spark.operators.sketch import sketch_clips
@@ -167,9 +168,12 @@ class DedupPipeline:
         verified = self._stage("verified", build_verified, force=force)
 
         def build_clusters():
-            # MegaPath-analog weak-edge pruning: dominated borderline
-            # edges are dropped so one weak bridge cannot over-merge two
-            # dense clusters (`kmcp/cmd/profile.go:1357-1388`)
+            # stage-3/stage-4 split of the reference profiler: weak-edge
+            # pruning (MegaPath rule, `kmcp/cmd/profile.go:1357-1388`)
+            # decides graph CONNECTIVITY so one borderline bridge cannot
+            # over-merge two dense clusters; EM-style reassignment over
+            # the UNPRUNED edges (`profile.go:2075-2117`) then decides
+            # final MEMBERSHIP by dominant accumulated support
             edges = prune_weak_edges(verified, alpha=cfg.cc_prune_alpha)
             labels_rep = connected_components(
                 edges,
@@ -177,6 +181,10 @@ class DedupPipeline:
                 max_iters=cfg.cc_max_iters,
                 checkpoint_every=cfg.cc_checkpoint_every,
             )
+            if cfg.em_reassign_iters > 0:
+                labels_rep = reassign_by_support(
+                    labels_rep, verified, iters=cfg.em_reassign_iters
+                )
             # expand representative labels back over their exact groups
             full = exact.join(
                 labels_rep.withColumnRenamed("clip_id", "rep_id"), "rep_id"

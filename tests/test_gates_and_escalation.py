@@ -149,6 +149,32 @@ def test_prune_weak_edges_drops_bridge_keeps_best(spark):
     assert prune_weak_edges(edges, alpha=0.0).count() == 5
 
 
+def test_reassign_by_support_moves_to_dominant_cluster(spark):
+    """EM-analog: a node whose kept edges landed it in cluster A but
+    whose accumulated edge support is dominated by cluster B moves to B
+    (kmcp profile stage-4 reassignment of multi-mapped reads)."""
+    from kmcp_spark.operators.cluster import reassign_by_support
+
+    labels = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("x", "a1"), ("b1", "b1"), ("b2", "b1")],
+        "clip_id string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2", 1.0),
+            ("x", "a1", 0.3),   # weak tie into A
+            ("x", "b1", 0.9),   # dominant support in B
+            ("x", "b2", 0.9),
+            ("b1", "b2", 1.0),
+        ],
+        "a string, b string, containment double",
+    )
+    out = {r.clip_id: r.cluster_id for r in reassign_by_support(labels, edges).collect()}
+    assert out["x"] == "b1"
+    # everyone else stays put (their dominant support is their own cluster)
+    assert out["a1"] == "a1" and out["a2"] == "a1" and out["b1"] == "b1"
+
+
 # ------------------------------------------- CC pointer-jump convergence
 
 def test_cc_chain_converges_logarithmically(spark):
