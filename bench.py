@@ -91,19 +91,25 @@ def bench_queries(sf_dir: str, cores: int) -> dict[str, float]:
 
 # ---------------------------------------------------------------- scaling
 
-def _host_probe(procs: int = 8) -> float:
-    """Health probe: tasks/s of the sketch-kernel microbench (no Spark).
-    This shared VM's co-tenant load swings timings 2-3x; legs taken in a
-    degraded window are noise, so every leg is annotated with the probe."""
+def _host_probe(procs: int = 8) -> dict:
+    """Health probe: sketch-kernel tasks/s AND streaming memory
+    bandwidth (no Spark).  This shared VM's co-tenant load swings
+    timings 2-3x, and bus saturation can leave cache-resident compute
+    intact while multi-GB stages crawl — so both signals are recorded
+    with every round; legs from low-bandwidth windows are noise."""
     try:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "host_probe.py"), str(procs)],
             capture_output=True, text=True, timeout=300,
         )
-        return float(json.loads(r.stdout.strip().splitlines()[-1])["tasks_per_sec"][str(procs)])
+        d = json.loads(r.stdout.strip().splitlines()[-1])
+        return {
+            "tasks_per_sec": d["tasks_per_sec"][str(procs)],
+            "stream_gbps": d.get("stream_gbps", -1.0),
+        }
     except Exception as ex:
         log("host probe failed:", ex)
-        return -1.0
+        return {"tasks_per_sec": -1.0, "stream_gbps": -1.0}
 
 
 def _one_leg(cores: int, corpus_path: str) -> dict:
@@ -157,10 +163,20 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
         spark.stop()
         json.dump({"n": n_clips}, open(marker, "w"))
 
+    # pre-flight: if a co-tenant is saturating the memory bus, every leg
+    # is garbage — wait (bounded) for a window with usable bandwidth
+    for attempt in range(6):
+        p = _host_probe()
+        if p["stream_gbps"] >= 1.0 or p["stream_gbps"] < 0:
+            break
+        log(f"  host stream bandwidth {p['stream_gbps']} GB/s — degraded, waiting 60s "
+            f"(attempt {attempt + 1}/6)")
+        time.sleep(60)
+
     cores_lo = max(cores_hi // 4, 1)
     walls: dict[int, list[float]] = {cores_lo: [], cores_hi: []}
     stage_ms: dict[int, dict] = {}
-    probes: list[float] = []
+    probes: list[dict] = []
     r = 0
     while r < rounds:
         probes.append(_host_probe())
@@ -169,7 +185,7 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
             walls[cores].append(payload["wall_sec"])
             stage_ms[cores] = payload["stage_ms"]
             log(f"  round {r} local[{cores}]: {payload['wall_sec']:.1f}s "
-                f"({n_clips / payload['wall_sec']:.1f} clips/s, probe {probes[-1]:.0f} t/s)")
+                f"({n_clips / payload['wall_sec']:.1f} clips/s, probe {probes[-1]})")
         r += 1
         t_lo, t_hi = _median(walls[cores_lo]), _median(walls[cores_hi])
         eff = (t_lo / t_hi) / (cores_hi / cores_lo)
@@ -191,7 +207,7 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
         "wall_sec_4n": round(t_hi, 2),
         "wall_samples_n": [round(x, 2) for x in walls[cores_lo]],
         "wall_samples_4n": [round(x, 2) for x in walls[cores_hi]],
-        "host_probe_tasks_per_sec": probes,
+        "host_probes": probes,
         "clips_per_sec_n": round(n_clips / t_lo, 2),
         "clips_per_sec_4n": round(n_clips / t_hi, 2),
         "scaling_efficiency": round(eff, 3),

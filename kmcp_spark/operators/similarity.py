@@ -238,34 +238,37 @@ def hyperplane_lsh_topk(
     bucket sign and the final cosine use the quantized-exact math so a
     SQL oracle reproduces every bucket and rank decision exactly.
     """
+    import numpy as np
+    import pandas as pd
+
     dim = len(emb.select("embedding").first()[0])
     planes = hyperplanes_q(dim, n_planes, n_tables, master_seed)
+    # bucket sign bits via ONE Arrow-batched int64 GEMM per batch
+    # (Q @ planes.T, exact integer arithmetic — bit-identical to the SQL
+    # oracle's literal dot products).  An expression-tree variant
+    # (aggregate(zip_with) per plane) ran 48 interpreted higher-order
+    # lambdas per row and was ~10x slower.
+    flat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
+    pows = (2 ** np.arange(n_planes, dtype=np.int64))
 
-    def intdot(qcol, plane_row):
-        arr = F.array(*[F.lit(int(v)) for v in plane_row])
-        return F.aggregate(
-            F.zip_with(qcol, arr, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.copysign(np.floor(np.abs(M * _Q) + 0.5), M).astype(np.int64)
+            sign = (Q @ flat) >= 0  # (rows, T*P)
+            bits = sign.reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * pows).sum(axis=2)  # (rows, T)
+            out = pdf.loc[pdf.index.repeat(n_tables)].reset_index(drop=True)
+            out["table_id"] = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            out["bucket"] = buckets.reshape(-1)
+            yield out[["vec_id", "embedding", "table_id", "bucket"]]
 
-    def bucket(t: int):
-        bits = [
-            F.when(intdot(F.col("qemb"), planes[t][p]) >= 0, F.lit(2**p)).otherwise(F.lit(0))
-            for p in range(n_planes)
-        ]
-        s = bits[0]
-        for x in bits[1:]:
-            s = s + x
-        return s
-
-    tables = F.array(
-        *[F.struct(F.lit(t).alias("table_id"), bucket(t).alias("bucket")) for t in range(n_tables)]
-    )
-    hashed = (
-        emb.select("vec_id", "embedding", _qvec(F.col("embedding")).alias("qemb"))
-        .select("vec_id", "embedding", F.explode(tables).alias("tb"))
-        .select("vec_id", "embedding", "tb.table_id", "tb.bucket")
+    emb_t = emb.schema["embedding"].dataType.simpleString()  # preserve float/double
+    hashed = emb.select("vec_id", "embedding").mapInPandas(
+        bucketize,
+        schema=f"vec_id bigint, embedding {emb_t}, table_id int, bucket bigint",
     )
     q = (
         hashed.join(

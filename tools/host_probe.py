@@ -48,6 +48,19 @@ def measure(procs: int, n_tasks: int = 96) -> float:
     return n_tasks / dt
 
 
+def stream_gbps(size_gb: float = 0.2, reps: int = 5) -> float:
+    """Streaming-multiply bandwidth — the signal the FFT probe misses.
+    A co-tenant saturating the memory bus leaves cache-resident compute
+    (the tasks/s figure) intact while multi-GB pipeline stages crawl;
+    observed here: 0.11 GB/s during such a window vs >2 GB/s otherwise."""
+    n = int(size_gb * 1e9 / 8)
+    b = np.ones(n)
+    t0 = time.time()
+    for _ in range(reps):
+        b * 1.000001
+    return reps * size_gb * 2 / (time.time() - t0)
+
+
 def main() -> None:
     counts = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8]
     tps = {c: round(measure(c), 2) for c in counts}
@@ -56,7 +69,15 @@ def main() -> None:
         hi = lo * 4
         if hi in tps:
             eff[f"{lo}->{hi}"] = round(tps[hi] / tps[lo] / 4.0, 3)
-    print(json.dumps({"tasks_per_sec": tps, "eff": eff}))
+    print(
+        json.dumps(
+            {
+                "tasks_per_sec": tps,
+                "eff": eff,
+                "stream_gbps": round(stream_gbps(), 3),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
