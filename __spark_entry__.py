@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda sp, sf: S.hyperplane_lsh_topk(
             _t(sp, sf, "embeddings"), n_queries=10, k=5
         ),
+        "ann_ivf_topk": lambda sp, sf: S.ivf_topk(
+            _t(sp, sf, "embeddings"), n_queries=10, k=5, n_cells=16, n_probe=4
+        ),
         # --- relational analogs of SURVEY.md §2 (lineitem/orders/...) ---
         "topn_per_group": lambda sp, sf: R.topn_per_group(_t(sp, sf, "lineitem"), 3),
         "best_gap_filter": lambda sp, sf: R.best_gap_filter(_t(sp, sf, "lineitem"), 0.1),
@@ -458,6 +461,61 @@ def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 12, n_tables: 
     """
 
 
+def _ann_ivf_sql(
+    n_queries: int = 10, k: int = 5, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    """Full SQL mirror of ivf_topk: medoid seeds are ORDER BY vec_id
+    LIMIT n, and assignment / probe selection use the exact quantized
+    integer L2 distance (every partial sum < 2^53), so DuckDB reproduces
+    every cell decision and rank bit-identically."""
+    d2 = (
+        "(list_dot_product({x}, {x}) - 2 * list_dot_product({x}, {c})"
+        " + list_dot_product({c}, {c}))"
+    )
+    return f"""
+        WITH qz AS (
+          SELECT vec_id, embedding,
+                 [round(CAST(u AS DOUBLE) * 1000000.0) for u in embedding] AS qv
+          FROM embeddings
+        ), seeds AS (
+          SELECT vec_id AS cell_id, qv AS cv FROM qz ORDER BY vec_id LIMIT {n_cells}
+        ), asg AS (
+          SELECT vec_id, embedding, cell_id FROM (
+            SELECT z.vec_id, z.embedding, s.cell_id,
+                   row_number() OVER (
+                     PARTITION BY z.vec_id
+                     ORDER BY {d2.format(x="z.qv", c="s.cv")} ASC, s.cell_id ASC
+                   ) AS rn
+            FROM qz z CROSS JOIN seeds s
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, qv AS q_qv
+          FROM qz ORDER BY vec_id LIMIT {n_queries}
+        ), probes AS (
+          SELECT query_id, q_emb, cell_id FROM (
+            SELECT q.query_id, q.q_emb, s.cell_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {d2.format(x="q.q_qv", c="s.cv")} ASC, s.cell_id ASC
+                   ) AS rn
+            FROM q CROSS JOIN seeds s
+          ) WHERE rn <= {n_probe}
+        ), sim AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round({_qcos('p.q_emb', 'a.embedding')}, 5) AS cosine
+          FROM probes p JOIN asg a USING (cell_id)
+          WHERE a.vec_id != p.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sim
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_simhash": f"""
@@ -468,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "dedup_multi_k": _multi_k_sql(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_docs,

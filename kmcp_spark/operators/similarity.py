@@ -197,6 +197,92 @@ def _round_half_away(x, digits: int):
     return np.copysign(np.floor(np.abs(y) + 0.5), y) / s
 
 
+def _qdist2(x, c):
+    """Exact squared L2 distance between quantized vectors, as a single
+    long fold: |q|^2 - 2<q,c> + |c|^2.  Every partial product is
+    < 2^53, so the sum is bit-identical in any engine."""
+    return _qnorm2(x) - 2 * _qdot(x, c) + _qnorm2(c)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 5,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the classic
+    cell-probe ANN decomposition (Sivic & Zisserman 2003; FAISS IVFFlat).
+
+    Medoid seeding keeps the whole plan oracle-exact: the ``n_cells``
+    centroids ARE the first ``n_cells`` data vectors by ``vec_id`` (a
+    deterministic pseudo-random sample — ids are unordered w.r.t. the
+    embedding space), so a SQL oracle reproduces them with ORDER BY
+    vec_id LIMIT n.  Assignment and probe selection use the exact
+    quantized integer L2 distance (ties -> smaller cell_id), and the
+    final scoring uses the quantized cosine, so every decision is
+    bit-identical across engines.
+
+    Scale shape: the centroid table is tiny (sqrt(n) rows — broadcast),
+    assignment is ONE broadcast-join map over the table with a map-side
+    ``min(struct(...))`` partial aggregate (no wide shuffle of vectors),
+    and each query scans only ``n_probe / n_cells`` of the corpus —
+    this is the scale path next to ``hyperplane_lsh_topk``; the
+    brute-force ``cosine_topk`` is the exact baseline both are measured
+    against (see tests/test_similarity.py recall checks).
+    """
+    seeds = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb"))
+    )
+    d2 = _qdist2(F.col("embedding"), F.col("c_emb"))
+    # nearest cell per vector: min(struct) keeps the agg map-side partial
+    # (no window sort over the n x n_cells expansion)
+    asg = (
+        emb.crossJoin(seeds)
+        .select("vec_id", "embedding", "cell_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cell_id")).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("best.cell_id").alias("cell_id"))
+    )
+    q = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(seeds)
+        .select(
+            "query_id", "q_emb", "cell_id",
+            _qdist2(F.col("q_emb"), F.col("c_emb")).alias("d2"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wp))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    sim = (
+        asg.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                quantized_cosine(F.col("q_emb"), F.col("embedding")), round_digits
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplanes_q(
     dim: int, n_planes: int = 12, n_tables: int = 4, master_seed: int = 42
 ):
