@@ -78,19 +78,6 @@ def word_ngrams_df(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(_gram_array(n)).alias("gram"))
 
 
-def gram_sets_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, grams array<string>, n_grams) — one row per doc, no
-    shuffle.  This is the per-doc gram *set* relation used to verify LSH
-    candidates in O(candidates): joining candidate pairs against these
-    arrays costs two hash joins on doc_id, versus the all-pairs gram
-    self-join of ``ngram_jaccard_pairs`` (kmcp likewise scores only the
-    targets its index probe returned, `kmcp/cmd/util-db-search.go:939-964`).
-    """
-    return docs.select("doc_id", _gram_array(n).alias("grams")).select(
-        "doc_id", "grams", F.size("grams").alias("n_grams")
-    )
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.4, max_gram_docs: int = 10_000
 ) -> DataFrame:
@@ -145,9 +132,19 @@ _SIG_SCHEMA = "doc_id bigint, minhash array<bigint>, simhash bigint, n_grams big
 
 
 def doc_signatures(
-    docs: DataFrame, n: int = 3, num_perm: int = 128, master_seed: int = 42
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 128,
+    master_seed: int = 42,
+    with_gram_hashes: bool = False,
 ) -> DataFrame:
-    """MinHash + SimHash signatures over word n-grams (Arrow-batched)."""
+    """MinHash + SimHash signatures over word n-grams (Arrow-batched).
+
+    ``with_gram_hashes`` additionally emits the distinct 64-bit gram
+    hash set per doc (``gram_h``), letting the LSH verify join score
+    candidates from this SAME relation — one pass over the text instead
+    of a second gram scan (kmcp likewise verifies on hashed k-mers, not
+    re-derived strings, `kmcp/cmd/util-db-search.go:939-964`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,24 +153,54 @@ def doc_signatures(
             sets = word_ngram_hashes_batch(pdf["text"], n)
             sig = minhash_signatures(sets, num_perm, master_seed)
             sh = simhash64(sets)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "minhash": list(sig.view(np.int64)),
-                    "simhash": sh.view(np.int64),
-                    "n_grams": np.fromiter(
-                        (len(s) for s in sets), dtype=np.int64, count=len(sets)
-                    ),
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "minhash": list(sig.view(np.int64)),
+                "simhash": sh.view(np.int64),
+                "n_grams": np.fromiter(
+                    (len(s) for s in sets), dtype=np.int64, count=len(sets)
+                ),
+            }
+            if with_gram_hashes:
+                cols["gram_h"] = [s.astype(np.uint64).view(np.int64) for s in sets]
+            yield pd.DataFrame(cols)
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=_SIG_SCHEMA)
+    src = docs.select("doc_id", "text")
+    # a small parquet scan arrives as ONE partition, which would run the
+    # whole signature kernel on one core; widen it to the cluster's
+    # parallelism (a 100-TB scan already has >> defaultParallelism
+    # partitions and is left untouched — no extra shuffle at scale)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    schema = _SIG_SCHEMA + (", gram_h array<bigint>" if with_gram_hashes else "")
+    return src.mapInPandas(run, schema=schema)
 
 
 def lsh_candidates(
     signatures: DataFrame, bands: int, rows_per_band: int, max_bucket: int = 10_000
 ) -> DataFrame:
-    """Band-join candidate pairs (a, b, shared_bands) from signatures."""
+    """Band-join candidate pairs (a, b, shared_bands) from signatures.
+
+    TWO shuffles total: one hash-agg that collects each bucket's member
+    ids (map-side partial, bucket cap applied on the collected array —
+    an earlier version used freq-count + join + self-join, 4 shuffles
+    for the same result), then the pair-count agg.  Pair expansion is a
+    JVM ``transform``/``slice`` comprehension over the member array —
+    O(sz^2) per bucket, bounded by ``max_bucket`` exactly like the
+    count-based cap was.  Buckets above the cap are dropped here (the
+    clip pipeline's ``lsh.candidate_pairs`` escalates instead; for the
+    document queries the other 63 bands make the miss probability
+    negligible, see ``minhash_lsh_dup_pairs``).
+
+    Scale bound, stated honestly: the member array of a bucket is
+    materialized by the agg BEFORE the cap filter (Spark's sort-based
+    agg fallback spills it, so no OOM, but a degenerate 10^8-member
+    bucket would still build one 10^8-element array row).  Byte-identical
+    duplicate classes — the only realistic source of such buckets — are
+    removed by the exact-dedup short-circuit upstream; the pipeline
+    variant keeps the join-based escalation precisely because it never
+    materializes bucket membership."""
     band_structs = F.array(
         *[
             F.struct(
@@ -186,23 +213,29 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    from pyspark import StorageLevel
-
-    buckets = (
+    members = (
         signatures.select("doc_id", F.explode(band_structs).alias("band"))
-        .select("doc_id", "band.band_id", "band.band_hash")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # consumed 3x below
+        .groupBy("band.band_id", "band.band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    freq = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("sz"))
-    ok = buckets.join(
-        freq.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)),
-        ["band_id", "band_hash"],
+    # all i<j pairs of the member array, normalized (least, greatest) so
+    # the nondeterministic collect_list order never leaks into results
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
     )
     return (
-        ok.alias("l")
-        .join(ok.alias("r"), ["band_id", "band_hash"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        members.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("shared_bands"))
     )
 
@@ -230,26 +263,39 @@ def minhash_lsh_dup_pairs(
     # empty-gram docs carry the all-max sentinel signature and would
     # collide with each other in every band — they have no content to
     # verify, so they are excluded from banding outright
-    sigs = doc_signatures(docs, n=n, num_perm=num_perm).filter(F.col("n_grams") > 0)
+    from pyspark import StorageLevel
+
+    # ONE pass over the text: the signature kernel also emits the
+    # distinct gram-hash set, and that single persisted relation feeds
+    # both the banding (doc_id + minhash only — gram arrays never enter
+    # the band shuffle) and the verify joins
+    sigs = (
+        doc_signatures(docs, n=n, num_perm=num_perm, with_gram_hashes=True)
+        .filter(F.col("n_grams") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if high_recall:
-        cand = lsh_candidates(sigs, bands=num_perm // 2, rows_per_band=2)
+        cand = lsh_candidates(sigs.select("doc_id", "minhash"), bands=num_perm // 2, rows_per_band=2)
     else:
-        cand = lsh_candidates(sigs, bands=num_perm // 4, rows_per_band=4)
-    # exact verification of CANDIDATES ONLY: join the candidate pairs to
-    # the per-doc gram arrays and score with array_intersect — cost is
-    # O(candidates), never the all-pairs gram self-join (kmcp scores only
-    # probed targets, `kmcp/cmd/util-db-search.go:939-964`)
-    gs = gram_sets_df(docs, n)
-    ga = gs.select(
-        F.col("doc_id").alias("a"), F.col("grams").alias("_ga"), F.col("n_grams").alias("_na")
+        cand = lsh_candidates(sigs.select("doc_id", "minhash"), bands=num_perm // 4, rows_per_band=4)
+    # exact verification of CANDIDATES ONLY: join the candidate pairs
+    # back to the per-doc gram-hash arrays and score with
+    # array_intersect — cost is O(candidates), never the all-pairs gram
+    # self-join (kmcp scores only probed targets, and on hashed k-mers,
+    # `kmcp/cmd/util-db-search.go:939-964`).  64-bit gram hashes stand
+    # in for gram text: collision odds across a corpus's shared-gram
+    # tests are ~1e-13, the same accepted risk as the xxhash64
+    # exact-dup short-circuit.
+    sa = sigs.select(
+        F.col("doc_id").alias("a"), F.col("gram_h").alias("_ha"), F.col("n_grams").alias("_na")
     )
-    gb = gs.select(
-        F.col("doc_id").alias("b"), F.col("grams").alias("_gb"), F.col("n_grams").alias("_nb")
+    sb = sigs.select(
+        F.col("doc_id").alias("b"), F.col("gram_h").alias("_hb"), F.col("n_grams").alias("_nb")
     )
-    inter = F.size(F.array_intersect("_ga", "_gb"))
+    inter = F.size(F.array_intersect("_ha", "_hb"))
     return (
-        cand.join(ga, "a")
-        .join(gb, "b")
+        cand.join(sa, "a")
+        .join(sb, "b")
         .select(
             "a",
             "b",
@@ -369,11 +415,18 @@ def multi_k_dup_pairs(
     form long common n-grams.  Each level is one left-anti join against
     the union of larger levels (len(ks) is small and static).
     """
+    from pyspark import StorageLevel
+
     out: DataFrame | None = None
     for n in sorted(ks, reverse=True):
-        p = minhash_lsh_dup_pairs(
-            docs, n=n, threshold=threshold, num_perm=num_perm
-        ).select("a", "b", "n_common", "jaccard", F.lit(n).alias("gram_n"))
+        # persist each level: the anti-join consumes every PRIOR level's
+        # plan again, and Catalyst does not dedupe common subplans — an
+        # unpersisted level-5 sketch would re-run once per smaller k
+        p = (
+            minhash_lsh_dup_pairs(docs, n=n, threshold=threshold, num_perm=num_perm)
+            .select("a", "b", "n_common", "jaccard", F.lit(n).alias("gram_n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         if out is None:
             out = p
         else:

@@ -30,6 +30,7 @@ from kmcp_spark.operators.lsh import band_buckets, bucket_stats, candidate_pairs
 from kmcp_spark.operators.sketch import sketch_clips
 from kmcp_spark.operators.verify import score_pairs, verify_pairs
 from kmcp_spark.sources.tables import (
+    checkpoint_rows,
     checkpoint_valid,
     read_checkpoint,
     write_checkpoint,
@@ -88,7 +89,9 @@ class DedupPipeline:
         df = build()
         write_checkpoint(df, path, self.fp, partition_by)
         out = read_checkpoint(self.spark, path)
-        n = out.count()
+        # rows_out from parquet footers: a count() here was one whole
+        # extra Spark job per stage (5 jobs/run of pure fixed latency)
+        n = checkpoint_rows(path)
         self.metrics.append(StageMetric(name, n, int((time.time() - t0) * 1000), False))
         return out
 

@@ -60,3 +60,18 @@ def write_checkpoint(
 
 def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def checkpoint_rows(path: str) -> int:
+    """Exact row count from parquet footers (driver-side, no Spark job).
+
+    Stage metrics need rows_out, but a ``count()`` after every stage
+    write is one whole extra job per stage — footer metadata gives the
+    same number in milliseconds."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
