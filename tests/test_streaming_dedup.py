@@ -1,0 +1,74 @@
+"""Streaming incremental dedup: exact pass-through dedup state across
+restarts, and micro-batch near-dup flagging against the growing sketch
+index (cross-batch pairs must be found; no pair may be flagged twice)."""
+
+import os
+
+import numpy as np
+
+from kmcp_spark.config import PipelineConfig
+from kmcp_spark.corpus import CLIPS_SCHEMA, make_rows
+from kmcp_spark.streaming.dedup import streaming_exact_dedup, streaming_neardup_flags
+
+
+def _drop(spark, in_dir, ids):
+    pdf = make_rows(np.array(ids), min_dur_s=0.5, max_dur_s=0.8)
+    spark.createDataFrame(
+        pdf.drop(columns=["cluster_id", "transform"]), schema=CLIPS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+
+def test_streaming_exact_dedup_suppresses_reposts(spark, tmp_out):
+    in_dir = os.path.join(tmp_out, "in")
+    out_dir = os.path.join(tmp_out, "out")
+    ckpt = os.path.join(tmp_out, "ckpt")
+    os.makedirs(in_dir)
+
+    _drop(spark, in_dir, range(20, 30))  # block 1: independent clips
+    streaming_exact_dedup(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 10
+
+    # second drop: 5 byte-identical reposts (make_rows is deterministic
+    # per id) + 5 genuinely new clips; state from the checkpoint must
+    # suppress the reposts across the stream restart
+    _drop(spark, in_dir, list(range(20, 25)) + list(range(60, 65)))
+    streaming_exact_dedup(spark, in_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 15
+    assert out.select("clip_id").distinct().count() == 15
+
+
+def test_streaming_neardup_flags_cross_batch(spark, tmp_out):
+    in_dir = os.path.join(tmp_out, "in")
+    index = os.path.join(tmp_out, "index")
+    flags = os.path.join(tmp_out, "flags")
+    ckpt = os.path.join(tmp_out, "ckpt")
+    os.makedirs(in_dir)
+    cfg = PipelineConfig()
+
+    # block 2 plants a 4-member cluster: base id 40, members 41-43.
+    # batch 1 carries ONLY the base (plus independent block-1 clips);
+    # the members arrive in batch 2 — their dup pairs are cross-batch
+    # and can only be found by probing the persisted index.
+    _drop(spark, in_dir, [40] + list(range(20, 30)))
+    streaming_neardup_flags(spark, in_dir, index, flags, ckpt, cfg)
+    assert spark.read.parquet(index).count() == 11
+    first = spark.read.parquet(flags).count()
+    assert first == 0  # no pairs within batch 1
+
+    _drop(spark, in_dir, [41, 42, 43])
+    streaming_neardup_flags(spark, in_dir, index, flags, ckpt, cfg)
+    assert spark.read.parquet(index).count() == 14
+    got = {
+        (r.a, r.b)
+        for r in spark.read.parquet(flags).select("a", "b").collect()
+    }
+    members = [f"clip_{i:010d}" for i in (40, 41, 42, 43)]
+    expected = {
+        (a, b) for i, a in enumerate(members) for b in members[i + 1:]
+    }
+    assert got == expected, f"flags {got} != planted cluster pairs {expected}"
+
+    # a third run with no new files must not re-flag anything
+    streaming_neardup_flags(spark, in_dir, index, flags, ckpt, cfg)
+    assert spark.read.parquet(flags).count() == len(expected)
