@@ -1,0 +1,232 @@
+"""CLI with kmcp's subcommand surface, so a reference user can switch
+tool-for-tool (`kmcp compute/index/search/profile/merge`, SURVEY.md §3):
+
+    python -m kmcp_spark compute --input clips.parquet --out-dir sk/
+    python -m kmcp_spark index   --sketches sk/ --out-dir idx/
+    python -m kmcp_spark search  --query q.parquet --index idx/ \
+                                 --sketches sk/ --out-dir hits/ [--top 5]
+    python -m kmcp_spark profile --matches hits/ --sketches sk/ --out-dir prof/
+    python -m kmcp_spark merge   --inputs sk1/ sk2/ ... --out-dir sk/
+    python -m kmcp_spark dedup   --input clips.parquet --out-dir out/
+
+Mapping to the reference subcommands:
+  compute → sketch stage (`kmcp/cmd/compute.go`): clips → sketch table.
+  index   → materialized band-bucket table (`kmcp/cmd/index.go`): the
+            `.uniki` analog a search can probe without re-banding.
+  search  → probe queries against the index (`kmcp/cmd/search.go`):
+            band-join, per-pair shared-bands vote, FPR floor
+            (`util-db-search.go:7466-7493`), qCov/tCov/Jaccard scoring,
+            cov→similarity%% cubic, optional top-N per query.
+  profile → resolve matches into clusters (`kmcp/cmd/profile.go`):
+            weak-edge pruning → connected components → EM reassignment
+            → cluster report + formatted report files.
+  merge   → union sketch shards (`kmcp/cmd/utils-*` U1/U2 analog),
+            first-writer-wins per clip_id.
+  dedup   → the whole staged pipeline end-to-end (no kmcp equivalent
+            single command; == compute|index|search|profile piped).
+
+Every subcommand reads/writes parquet directories — the same tables the
+library API uses — and prints one JSON summary line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from kmcp_spark.config import PipelineConfig, get_spark
+
+
+def _write(df, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def cmd_compute(args) -> dict:
+    from kmcp_spark.operators.sketch import sketch_clips
+
+    spark = get_spark(app="kmcp_compute", cores=args.cores)
+    clips = spark.read.parquet(args.input)
+    cfg = PipelineConfig()
+    if cfg.sketch.min_dur_ms > 0:
+        clips = clips.filter(F.col("dur_ms") >= cfg.sketch.min_dur_ms)
+    _write(sketch_clips(clips, cfg), args.out_dir)
+    from kmcp_spark.sources.tables import checkpoint_rows
+
+    return {"cmd": "compute", "out": args.out_dir, "rows": checkpoint_rows(args.out_dir)}
+
+
+def cmd_index(args) -> dict:
+    from kmcp_spark.operators.lsh import band_buckets
+    from kmcp_spark.sources.tables import checkpoint_rows
+
+    spark = get_spark(app="kmcp_index", cores=args.cores)
+    cfg = PipelineConfig()
+    sk = spark.read.parquet(args.sketches)
+    _write(band_buckets(sk, cfg.lsh.bands, cfg.lsh.rows_per_band), args.out_dir)
+    return {"cmd": "index", "out": args.out_dir, "rows": checkpoint_rows(args.out_dir)}
+
+
+def cmd_search(args) -> dict:
+    from kmcp_spark.operators.lsh import band_buckets
+    from kmcp_spark.operators.sketch import sketch_clips
+    from kmcp_spark.operators.verify import min_bands_for_fpr, score_pairs
+    from kmcp_spark.sources.tables import checkpoint_rows
+
+    spark = get_spark(app="kmcp_search", cores=args.cores)
+    cfg = PipelineConfig()
+    q_clips = spark.read.parquet(args.query)
+    q_sk = sketch_clips(q_clips, cfg)
+    q_bands = band_buckets(q_sk, cfg.lsh.bands, cfg.lsh.rows_per_band).select(
+        F.col("clip_id").alias("a"), "band_id", "band_hash"
+    )
+    idx = spark.read.parquet(args.index).select(
+        F.col("clip_id").alias("b"), "band_id", "band_hash"
+    )
+    pairs = (
+        q_bands.join(idx, ["band_id", "band_hash"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_bands"))
+    )
+    sk_all = q_sk.unionByName(spark.read.parquet(args.sketches)).dropDuplicates(
+        ["clip_id"]
+    )
+    scored = score_pairs(pairs, sk_all, cfg)
+    v = cfg.verify
+    floor = max(
+        v.min_shared_bands,
+        min_bands_for_fpr(
+            cfg.lsh.bands, cfg.lsh.rows_per_band, v.null_jaccard, v.max_chance_fpr
+        ),
+    )
+    hits = scored.filter(F.col("shared_bands") >= floor)
+    if args.top:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("a").orderBy(F.desc("containment"), F.asc("b"))
+        hits = (
+            hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= args.top)
+            .drop("_rn")
+        )
+    _write(hits.withColumnRenamed("a", "query_id").withColumnRenamed("b", "target_id"),
+           args.out_dir)
+    return {"cmd": "search", "out": args.out_dir, "rows": checkpoint_rows(args.out_dir),
+            "min_shared_bands": floor}
+
+
+def cmd_profile(args) -> dict:
+    from kmcp_spark.operators.cluster import (
+        cluster_report,
+        connected_components,
+        prune_weak_edges,
+        reassign_by_support,
+    )
+    from kmcp_spark.operators.report import write_reports
+    from kmcp_spark.sources.tables import checkpoint_rows
+
+    spark = get_spark(app="kmcp_profile", cores=args.cores)
+    cfg = PipelineConfig()
+    matches = spark.read.parquet(args.matches)
+    if "query_id" in matches.columns:  # accept `search` output verbatim
+        matches = matches.withColumnRenamed("query_id", "a").withColumnRenamed(
+            "target_id", "b"
+        )
+    sk = spark.read.parquet(args.sketches)
+    edges = prune_weak_edges(matches, alpha=cfg.cc_prune_alpha)
+    labels = connected_components(
+        edges, all_nodes=sk.select("clip_id"), max_iters=cfg.cc_max_iters
+    )
+    if cfg.em_reassign_iters > 0:
+        labels = reassign_by_support(labels, matches, iters=cfg.em_reassign_iters)
+    clusters = cluster_report(labels)
+    _write(clusters, args.out_dir + "/clusters")
+    paths = write_reports(args.out_dir, clusters, matches)
+    return {"cmd": "profile", "out": args.out_dir,
+            "clusters_rows": checkpoint_rows(args.out_dir + "/clusters"),
+            "reports": sorted(paths)}
+
+
+def cmd_merge(args) -> dict:
+    from kmcp_spark.sources.tables import checkpoint_rows
+
+    spark = get_spark(app="kmcp_merge", cores=args.cores)
+    df = spark.read.parquet(args.inputs[0])
+    for p in args.inputs[1:]:
+        df = df.unionByName(spark.read.parquet(p))
+    _write(df.dropDuplicates(["clip_id"]), args.out_dir)
+    return {"cmd": "merge", "out": args.out_dir, "rows": checkpoint_rows(args.out_dir)}
+
+
+def cmd_dedup(args) -> dict:
+    from kmcp_spark.operators.report import write_reports
+    from kmcp_spark.plans.pipeline import DedupPipeline
+
+    spark = get_spark(app="kmcp_dedup", cores=args.cores)
+    clips = spark.read.parquet(args.input)
+    res = DedupPipeline(spark, PipelineConfig(), args.out_dir).run(clips)
+    paths = write_reports(args.out_dir, res.clusters, res.verified)
+    return {
+        "cmd": "dedup",
+        "out": args.out_dir,
+        "stages": {m.stage: m.wall_ms for m in res.metrics},
+        "reports": sorted(paths),
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kmcp_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--out-dir", required=True)
+        sp.add_argument("--cores", type=int, default=None)
+
+    sp = sub.add_parser("compute", help="clips parquet -> sketch table")
+    sp.add_argument("--input", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_compute)
+
+    sp = sub.add_parser("index", help="sketch table -> band-bucket index")
+    sp.add_argument("--sketches", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("search", help="probe query clips against an index")
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--sketches", required=True, help="target sketch table")
+    sp.add_argument("--top", type=int, default=0, help="top-N per query (0 = all)")
+    common(sp)
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("profile", help="matches -> clusters + reports")
+    sp.add_argument("--matches", required=True)
+    sp.add_argument("--sketches", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser("merge", help="union sketch shards (first wins per clip)")
+    sp.add_argument("--inputs", nargs="+", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("dedup", help="full staged pipeline end-to-end")
+    sp.add_argument("--input", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_dedup)
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

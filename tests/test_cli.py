@@ -1,0 +1,78 @@
+"""CLI parity test: drive compute -> index -> search -> profile (the
+kmcp subcommand chain) plus merge, over a corpus with planted dups, and
+check the chain finds exactly the planted clusters."""
+
+import os
+
+import numpy as np
+
+from kmcp_spark.cli import main
+from kmcp_spark.corpus import CLIPS_SCHEMA, make_rows
+
+
+def _write_clips(spark, path, ids):
+    pdf = make_rows(np.array(ids), min_dur_s=0.5, max_dur_s=0.8)
+    truth = pdf[["clip_id", "cluster_id"]]
+    spark.createDataFrame(
+        pdf.drop(columns=["cluster_id", "transform"]), schema=CLIPS_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return truth
+
+
+def test_cli_chain(spark, tmp_out):
+    clips = os.path.join(tmp_out, "clips")
+    sk = os.path.join(tmp_out, "sk")
+    idx = os.path.join(tmp_out, "idx")
+    hits = os.path.join(tmp_out, "hits")
+    prof = os.path.join(tmp_out, "prof")
+    # blocks 0+2 active: cluster {40..43} + {0,1}, controls + independents
+    truth = _write_clips(spark, clips, list(range(0, 60)))
+
+    r = main(["compute", "--input", clips, "--out-dir", sk, "--cores", "8"])
+    assert r["rows"] == 60
+
+    r = main(["index", "--sketches", sk, "--out-dir", idx, "--cores", "8"])
+    assert r["rows"] > 0
+
+    r = main([
+        "search", "--query", clips, "--index", idx, "--sketches", sk,
+        "--out-dir", hits, "--cores", "8",
+    ])
+    assert r["rows"] > 0
+
+    r = main([
+        "profile", "--matches", hits, "--sketches", sk,
+        "--out-dir", prof, "--cores", "8",
+    ])
+    clusters = spark.read.parquet(os.path.join(prof, "clusters"))
+    got = {
+        tuple(sorted(x.clip_id for x in g))
+        for g in [
+            list(rows)
+            for _, rows in __import__("itertools").groupby(
+                sorted(clusters.filter("cluster_size > 1").collect(),
+                       key=lambda x: x.cluster_id),
+                key=lambda x: x.cluster_id,
+            )
+        ]
+    }
+    want = {
+        tuple(sorted(g["clip_id"]))
+        for _, g in truth.groupby("cluster_id")
+        if len(g) > 1
+    }
+    assert got == want, f"CLI chain clusters {got} != planted {want}"
+    for rep in r["reports"]:  # report names; files land under prof/reports/
+        assert os.path.exists(os.path.join(prof, "reports", rep))
+
+
+def test_cli_merge(spark, tmp_out):
+    clips_a = os.path.join(tmp_out, "ca")
+    clips_b = os.path.join(tmp_out, "cb")
+    _write_clips(spark, clips_a, range(20, 30))
+    _write_clips(spark, clips_b, range(25, 35))  # 5-clip overlap
+    sa, sb, merged = (os.path.join(tmp_out, d) for d in ("sa", "sb", "merged"))
+    main(["compute", "--input", clips_a, "--out-dir", sa, "--cores", "8"])
+    main(["compute", "--input", clips_b, "--out-dir", sb, "--cores", "8"])
+    r = main(["merge", "--inputs", sa, sb, "--out-dir", merged, "--cores", "8"])
+    assert r["rows"] == 15  # union of 10 + 10 with 5 dups
