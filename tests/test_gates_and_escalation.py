@@ -179,10 +179,11 @@ def test_reassign_by_support_moves_to_dominant_cluster(spark):
 
 def test_cc_chain_converges_logarithmically(spark):
     """A 64-node chain needs ~63 one-hop rounds; pointer jumping must
-    finish well inside 12."""
+    finish well inside 12.  (driver_max_edges=0 forces the distributed
+    loop — the default would take the small-graph fast path.)"""
     chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
     pairs = spark.createDataFrame(chain, "a string, b string")
-    labels = connected_components(pairs, max_iters=12)
+    labels = connected_components(pairs, max_iters=12, driver_max_edges=0)
     got = {r.cluster_id for r in labels.collect()}
     assert got == {"n000"}
 
@@ -191,7 +192,33 @@ def test_cc_raises_on_non_convergence(spark):
     chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
     pairs = spark.createDataFrame(chain, "a string, b string")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=2)
+        connected_components(pairs, max_iters=2, driver_max_edges=0)
+
+
+def test_cc_driver_and_loop_agree(spark):
+    """The size-gated driver union-find and the distributed hash-min
+    loop must produce identical clusterings on a messy random graph
+    (multiple components, chains, a clique, singletons via all_nodes)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(60):03d}", f"n{rng.randrange(60):03d}") for _ in range(50)]
+    edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a string, b string")
+    nodes = spark.createDataFrame(
+        [(f"n{i:03d}",) for i in range(80)], "clip_id string"
+    )
+    fast = {
+        (r.clip_id, r.cluster_id)
+        for r in connected_components(pairs, all_nodes=nodes).collect()
+    }
+    loop = {
+        (r.clip_id, r.cluster_id)
+        for r in connected_components(
+            pairs, all_nodes=nodes, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == loop and len(fast) == 80
 
 
 # --------------------------------------------------- matched_chunk_frac
