@@ -77,7 +77,10 @@ def pipeline_run(cores: int, corpus_path: str, out_dir: str) -> None:
     _warm_page_cache(corpus_path)
     warm_dir = out_dir + "_warm"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    DedupPipeline(spark, PipelineConfig(), warm_dir).run(clips.limit(max(n // 8, 500)))
+    # sample(), not limit(): limit collapses to one partition and would
+    # warm a single python worker; sample keeps every scan split so all
+    # cores spawn+JIT their workers during the warmup
+    DedupPipeline(spark, PipelineConfig(), warm_dir).run(clips.sample(0.125, seed=1))
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     shutil.rmtree(out_dir, ignore_errors=True)
