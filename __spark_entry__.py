@@ -551,13 +551,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE n_common / (sa.n_grams + sb.n_grams - n_common) >= 0.4
         """,
-        "text_token_stats": """
+        "text_token_stats": r"""
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                        AS INT) AS n_bpe_tokens,
                    CAST(length(text) AS INT) AS n_chars_actual,
                    CAST(list_sum([length(t) for t in
-                        regexp_split_to_array(trim(text), '\\s+')]) AS DOUBLE)
-                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                        regexp_split_to_array(trim(text), '\s+')]) AS DOUBLE)
+                     / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
                      AS mean_token_len
             FROM documents
         """,

@@ -22,12 +22,23 @@ LANG_MARKERS = {
 EN_STOPWORDS = LANG_MARKERS["en"]
 
 
+# GPT-2-style pretokenizer, lookahead-free so the SAME pattern runs in
+# Spark (java.util.regex) and DuckDB (RE2): contraction suffixes, then
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + char count + mean token length."""
+    """Whitespace token count, BPE-ish pretoken count (GPT-2-style
+    regex — the standard LLM-data proxy for tokenizer cost), char count,
+    mean token length."""
     toks = F.split(F.trim(F.col("text")), "\\s+")
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
         F.length("text").alias("n_chars_actual"),
         (
             F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
