@@ -33,7 +33,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+if __package__ in (None, ""):
+    # executed as a script (the spark-submit primary file): put the
+    # package's parent on the path so `import kmcp_spark` resolves even
+    # without --py-files (local runs)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
