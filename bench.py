@@ -287,8 +287,9 @@ def main() -> None:
         # only pair whose HARDWARE ceiling (0.84-0.87 measured by
         # tools/host_probe.py) sits above the 0.8 target
         scale_hi = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "4"))
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
         try:
-            scaling = bench_scaling(scale_hi, n_clips)
+            scaling = bench_scaling(scale_hi, n_clips, rounds=rounds)
             result.update(scaling)
             result["value"] = scaling["clips_per_sec_4n"]
         except Exception as ex:  # never lose the round artifact
