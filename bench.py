@@ -254,13 +254,13 @@ def main() -> None:
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 32k clips (~4.2 GB): at 16k the non-scaling fixed costs (stage
-    # scheduling, checkpoint commits, CC-loop job latency — ~10 s/leg)
-    # were ~1/3 of the 8-core wall and capped measurable efficiency at
-    # ~0.55 even when every scalable stage hit the hardware ceiling;
-    # doubling the work amortizes them to ~15% (closer to the 100-TB
-    # regime the north rule is actually about)
-    n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "32000"))
+    # default 16k clips keeps the unattended per-round bench inside the
+    # r1-proven ~15-20 min budget; the 32k fixed-overhead-amortized
+    # campaign (SPARK_GRAFT_BENCH_CLIPS=32000, 5 rounds) is recorded in
+    # BENCH/BASELINE.md — corpus size moved the measured efficiency by
+    # <0.1 because the binding constraint is the shared memory bus (see
+    # the data-plane attribution section there)
+    n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "16000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     t0 = time.time()
