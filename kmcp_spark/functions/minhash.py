@@ -15,6 +15,16 @@ MinHash signatures are computed for an entire batch at once:
 hash all shingles of all rows under each of ``num_perm`` derived hash
 functions, then segment-min with ``np.minimum.reduceat`` over row
 offsets — zero per-row Python in the O(num_perm × total_shingles) loop.
+
+The flat shingle array is processed in L2-cache-sized chunks with the
+permutation loop INSIDE the chunk loop: each chunk is read from DRAM
+once and re-hashed num_perm times while cache-resident.  The naive
+order (perm outer, full array inner) streams the whole array through
+the memory bus num_perm times — measured on this host's shared bus it
+made the sketch kernel bandwidth-bound (1→4-core scaling 0.49); the
+chunked order makes it compute-bound.  Results are bit-identical:
+row minima never cross chunk boundaries because chunks split on row
+offsets.
 """
 
 from __future__ import annotations
@@ -45,11 +55,28 @@ def minhash_signatures(
         return sig
     flat = np.concatenate([s for s in shingle_sets if len(s)]).astype(_U64)
     offs = np.concatenate(([0], np.cumsum(counts[nonempty])))[:-1]
-    seeds = derive_seeds(num_perm, master_seed)
+    seeds = [int(s) for s in derive_seeds(num_perm, master_seed)]
     rows = np.flatnonzero(nonempty)
-    for p in range(num_perm):
-        hp = splitmix64(flat, seed=int(seeds[p]))
-        sig[rows, p] = np.minimum.reduceat(hp, offs)
+    # chunk on row boundaries so each ~48k-element (384 KB) slice of the
+    # flat array stays cache-resident across all num_perm re-hashes
+    chunk_elems = 48 * 1024
+    ne_counts = counts[nonempty]
+    n_seg = offs.shape[0]
+    seg_lo = 0
+    while seg_lo < n_seg:
+        seg_hi = seg_lo + 1
+        lo = offs[seg_lo]
+        hi = offs[seg_hi] if seg_hi < n_seg else flat.shape[0]
+        while seg_hi < n_seg and (offs[seg_hi] - lo) + ne_counts[seg_hi] <= chunk_elems:
+            seg_hi += 1
+            hi = offs[seg_hi] if seg_hi < n_seg else flat.shape[0]
+        sub = flat[lo:hi]
+        sub_offs = offs[seg_lo:seg_hi] - lo
+        sub_rows = rows[seg_lo:seg_hi]
+        for p in range(num_perm):
+            hp = splitmix64(sub, seed=seeds[p])
+            sig[sub_rows, p] = np.minimum.reduceat(hp, sub_offs)
+        seg_lo = seg_hi
     return sig
 
 

@@ -29,17 +29,34 @@ def simhash64(shingle_sets: list[np.ndarray]) -> np.ndarray:
     if not nonempty.any():
         return out
     flat = np.concatenate([s for s in shingle_sets if len(s)]).astype(_U64)
-    # bits: (total_shingles, 64) with column c = bit c of the uint64
-    # (little-endian byte order + little bitorder keeps c consistent).
-    flat_le = flat.astype("<u8")
-    bits = np.unpackbits(flat_le.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     offs = np.concatenate(([0], np.cumsum(counts[nonempty])))[:-1]
-    sums = np.add.reduceat(bits.astype(np.int64), offs, axis=0)  # (n_nonempty, 64)
-    half = counts[nonempty][:, None] / 2.0
-    fp_bits = (sums > half).astype(np.uint8)
-    packed = np.packbits(fp_bits, axis=1, bitorder="little")  # (n, 8) bytes
-    vals = packed.copy().view("<u8").ravel().astype(_U64)
-    out[np.flatnonzero(nonempty)] = vals
+    ne_counts = counts[nonempty]
+    ne_rows = np.flatnonzero(nonempty)
+    # process in row-aligned chunks so the (chunk, 64) uint8 bit matrix
+    # stays cache-resident (the old whole-batch int64 matrix was 64+512
+    # bytes of DRAM traffic per shingle); uint16 segment sums are exact
+    # for sets < 65536 shingles, with an int64 fallback for larger rows
+    chunk_elems = 32 * 1024
+    n_seg = offs.shape[0]
+    seg_lo = 0
+    while seg_lo < n_seg:
+        seg_hi = seg_lo + 1
+        lo = offs[seg_lo]
+        while seg_hi < n_seg and (offs[seg_hi] - lo) + ne_counts[seg_hi] <= chunk_elems:
+            seg_hi += 1
+        hi = offs[seg_hi] if seg_hi < n_seg else flat.shape[0]
+        # bits: (chunk_shingles, 64) with column c = bit c of the uint64
+        # (little-endian byte order + little bitorder keeps c consistent)
+        sub_le = flat[lo:hi].astype("<u8")
+        bits = np.unpackbits(sub_le.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        sub_offs = offs[seg_lo:seg_hi] - lo
+        sum_dtype = np.uint16 if int(ne_counts[seg_lo:seg_hi].max()) < 65536 else np.int64
+        sums = np.add.reduceat(bits.astype(sum_dtype), sub_offs, axis=0)
+        half = ne_counts[seg_lo:seg_hi, None] / 2.0
+        fp_bits = (sums > half).astype(np.uint8)
+        packed = np.packbits(fp_bits, axis=1, bitorder="little")  # (n, 8) bytes
+        out[ne_rows[seg_lo:seg_hi]] = packed.copy().view("<u8").ravel().astype(_U64)
+        seg_lo = seg_hi
     return out
 
 
