@@ -137,7 +137,9 @@ def pipeline_run(cores: int, corpus_path: str, out_dir: str) -> None:
 
 # ---------------------------------------------------------------- queries
 
-def bench_queries(sf_dir: str, cores: int) -> dict[str, float]:
+def bench_queries(sf_dir: str, cores: int, result: dict | None = None) -> dict[str, float]:
+    """Time every driver query; if ``result`` is given, emit a best-so-far
+    artifact line after each query (kill-safe partials)."""
     import __spark_entry__ as entrymod
     from kmcp_spark.config import get_spark
 
@@ -152,6 +154,13 @@ def bench_queries(sf_dir: str, cores: int) -> dict[str, float]:
         except Exception as ex:  # report, don't die
             log(f"  {name}: ERROR {ex}")
             out[name] = -1.0
+        if result is not None:
+            partial = dict(result)
+            partial["queries"] = dict(out)
+            partial["total_query_sec"] = round(sum(v for v in out.values() if v > 0), 2)
+            partial["value"] = partial["total_query_sec"]
+            partial["unit"] = "sec"
+            emit(partial, phase=f"queries_{len(out)}")
     spark.stop()
     return out
 
@@ -351,18 +360,20 @@ def main() -> None:
     n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "16000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
-    if os.environ.get("SPARK_GRAFT_ONLY_SCALING") == "1":
-        qtimes = {}
-    else:
-        qtimes = bench_queries(sf_dir, cores)
     result = {
         "metric": "clips_per_sec_4n(dedup pipeline, N vs 4N cores)",
         "value": None,
         "unit": "clips/sec",
-        "queries": qtimes,
+        "queries": {},
         "sf": sf,
-        "total_query_sec": round(sum(v for v in qtimes.values() if v > 0), 2),
+        "total_query_sec": 0.0,
     }
+    if os.environ.get("SPARK_GRAFT_ONLY_SCALING") == "1":
+        qtimes = {}
+    else:
+        qtimes = bench_queries(sf_dir, cores, result=result)
+    result["queries"] = qtimes
+    result["total_query_sec"] = round(sum(v for v in qtimes.values() if v > 0), 2)
     # queries-phase partial goes out immediately: if the scaling phase
     # is killed, the driver still has a complete artifact for this phase
     queries_partial = dict(result)
