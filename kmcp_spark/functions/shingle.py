@@ -72,14 +72,15 @@ def char_kgram_hashes_batch(
     return out
 
 
-def word_ngram_hashes_batch(
-    texts: "pd.Series | list[str]", n: int, distinct: bool = True
-) -> list[np.ndarray]:
-    """Hash every word n-gram (whitespace tokenization) per row.
+def word_symbols(texts: "pd.Series | list[str]") -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize + token-hash a whole batch ONCE: (sym, counts).
 
-    Tokens are first hashed to uint64 (so the n-gram rolling hash runs
-    over token-hash symbols, not characters), then an n-window rolling
-    hash produces the shingle hashes — the word-level analog of X1.
+    ``sym`` is the concatenated uint64 token-hash sequence of all rows;
+    ``counts[r]`` is row r's token count.  Shared by every n-gram width
+    (see :func:`ngram_hashes_from_symbols`) so multi-k shingling splits
+    the strings a single time — the analog of kmcp reusing one k-mer
+    iterator family across its ks-descending search loop
+    (`kmcp/cmd/util-db-search.go:1037-1107`).
     """
     if isinstance(texts, pd.Series):
         texts = texts.fillna("").tolist()
@@ -95,10 +96,16 @@ def word_ngram_hashes_batch(
     )
     uniq_hashes = _hash_str_array(uniq)
     sym = uniq_hashes[inv] if all_tokens else np.empty(0, dtype=_U64)
-    # rolling n-window hash over token symbols, masked at row boundaries
+    return sym, counts
+
+
+def ngram_hashes_from_symbols(
+    sym: np.ndarray, counts: np.ndarray, n: int, distinct: bool = True
+) -> list[np.ndarray]:
+    """Rolling n-window hashes over precomputed token symbols, per row."""
     out: list[np.ndarray] = []
     offs = np.concatenate(([0], np.cumsum(counts)))
-    for r in range(len(token_lists)):
+    for r in range(counts.shape[0]):
         s = sym[offs[r] : offs[r + 1]]
         if s.shape[0] < n:
             out.append(np.empty(0, dtype=_U64))
@@ -106,6 +113,19 @@ def word_ngram_hashes_batch(
         h = hash_bytes_rolling(s, n)
         out.append(np.unique(h) if distinct else h)
     return out
+
+
+def word_ngram_hashes_batch(
+    texts: "pd.Series | list[str]", n: int, distinct: bool = True
+) -> list[np.ndarray]:
+    """Hash every word n-gram (whitespace tokenization) per row.
+
+    Tokens are first hashed to uint64 (so the n-gram rolling hash runs
+    over token-hash symbols, not characters), then an n-window rolling
+    hash produces the shingle hashes — the word-level analog of X1.
+    """
+    sym, counts = word_symbols(texts)
+    return ngram_hashes_from_symbols(sym, counts, n, distinct)
 
 
 def _hash_str_array(arr: np.ndarray) -> np.ndarray:

@@ -31,7 +31,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from kmcp_spark.functions.minhash import minhash_signatures
-from kmcp_spark.functions.shingle import word_ngram_hashes_batch
+from kmcp_spark.functions.shingle import (
+    ngram_hashes_from_symbols,
+    word_ngram_hashes_batch,
+    word_symbols,
+)
 from kmcp_spark.functions.simhash import simhash64
 
 
@@ -274,18 +278,28 @@ def minhash_lsh_dup_pairs(
         .filter(F.col("n_grams") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return _lsh_verify_pairs(sigs, num_perm, threshold, high_recall)
+
+
+def _lsh_verify_pairs(
+    sigs: DataFrame, num_perm: int, threshold: float, high_recall: bool = True
+) -> DataFrame:
+    """Band + exact-verify tail shared by the single-k and multi-k paths.
+
+    ``sigs`` must carry (doc_id, minhash, gram_h, n_grams) with
+    n_grams > 0 rows only.  Exact verification touches CANDIDATES ONLY:
+    the candidate pairs join back to the per-doc gram-hash arrays and
+    score with ``array_intersect`` — cost is O(candidates), never the
+    all-pairs gram self-join (kmcp scores only probed targets, and on
+    hashed k-mers, `kmcp/cmd/util-db-search.go:939-964`).  64-bit gram
+    hashes stand in for gram text: collision odds across a corpus's
+    shared-gram tests are ~1e-13, the same accepted risk as the
+    xxhash64 exact-dup short-circuit.
+    """
     if high_recall:
         cand = lsh_candidates(sigs.select("doc_id", "minhash"), bands=num_perm // 2, rows_per_band=2)
     else:
         cand = lsh_candidates(sigs.select("doc_id", "minhash"), bands=num_perm // 4, rows_per_band=4)
-    # exact verification of CANDIDATES ONLY: join the candidate pairs
-    # back to the per-doc gram-hash arrays and score with
-    # array_intersect — cost is O(candidates), never the all-pairs gram
-    # self-join (kmcp scores only probed targets, and on hashed k-mers,
-    # `kmcp/cmd/util-db-search.go:939-964`).  64-bit gram hashes stand
-    # in for gram text: collision odds across a corpus's shared-gram
-    # tests are ~1e-13, the same accepted risk as the xxhash64
-    # exact-dup short-circuit.
     sa = sigs.select(
         F.col("doc_id").alias("a"), F.col("gram_h").alias("_ha"), F.col("n_grams").alias("_na")
     )
@@ -397,6 +411,55 @@ def simhash_pairs_from_sigs(
     )
 
 
+_MULTI_SIG_SCHEMA = (
+    "doc_id bigint, gram_n int, minhash array<bigint>, gram_h array<bigint>, n_grams bigint"
+)
+
+
+def multi_doc_signatures(
+    docs: DataFrame,
+    ks: tuple[int, ...],
+    num_perm: int = 128,
+    master_seed: int = 42,
+) -> DataFrame:
+    """Signatures for ALL n-gram widths in ONE pass over the text.
+
+    The batch is tokenized and token-hashed once (``word_symbols``);
+    each k then derives its gram sets from the shared symbol stream —
+    one row per (doc, gram_n).  This replaces len(ks) full text scans +
+    kernels with one (the kmcp analog: one k-mer iterator family reused
+    across the ks-descending search loop,
+    `kmcp/cmd/util-db-search.go:1037-1107`).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sym, counts = word_symbols(pdf["text"])
+            doc_ids = pdf["doc_id"].to_numpy()
+            for k in ks:
+                sets = ngram_hashes_from_symbols(sym, counts, k)
+                sig = minhash_signatures(sets, num_perm, master_seed)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids,
+                        "gram_n": np.full(len(sets), k, dtype=np.int32),
+                        "minhash": list(sig.view(np.int64)),
+                        "gram_h": [s.astype(np.uint64).view(np.int64) for s in sets],
+                        "n_grams": np.fromiter(
+                            (len(s) for s in sets), dtype=np.int64, count=len(sets)
+                        ),
+                    }
+                )
+
+    src = docs.select("doc_id", "text")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(run, schema=_MULTI_SIG_SCHEMA)
+
+
 def multi_k_dup_pairs(
     docs: DataFrame,
     ks: tuple[int, ...] = (5, 4, 3),
@@ -407,23 +470,36 @@ def multi_k_dup_pairs(
 
     kmcp probes each query at several k-mer sizes in DESCENDING order
     and keeps the first (largest) k that produces matches
-    (`kmcp/cmd/util-db-search.go:763-1025` loops ks desc).  Here each
-    n-gram size runs the full sketch -> LSH -> exact-verify path; a pair
-    is reported at the LARGEST n where it passes the threshold (tagged
-    ``gram_n``), and smaller n only contribute pairs the larger shingles
+    (`kmcp/cmd/util-db-search.go:763-1025` loops ks desc).  A pair is
+    reported at the LARGEST n where it passes the threshold (tagged
+    ``gram_n``); smaller n only contribute pairs the larger shingles
     missed — catching near-dups whose shared text is too fragmented to
     form long common n-grams.  Each level is one left-anti join against
     the union of larger levels (len(ks) is small and static).
+
+    All levels' signatures come from ONE shared text pass
+    (:func:`multi_doc_signatures`, persisted); per level only the
+    banding + candidate-verify joins run — the r2 version re-ran the
+    full text scan + signature kernel per k (3 scans, slowest query in
+    the bench).
     """
     from pyspark import StorageLevel
 
+    msigs = (
+        multi_doc_signatures(docs, tuple(sorted(ks, reverse=True)), num_perm=num_perm)
+        .filter(F.col("n_grams") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     out: DataFrame | None = None
     for n in sorted(ks, reverse=True):
         # persist each level: the anti-join consumes every PRIOR level's
-        # plan again, and Catalyst does not dedupe common subplans — an
-        # unpersisted level-5 sketch would re-run once per smaller k
+        # plan again, and Catalyst does not dedupe common subplans
         p = (
-            minhash_lsh_dup_pairs(docs, n=n, threshold=threshold, num_perm=num_perm)
+            _lsh_verify_pairs(
+                msigs.filter(F.col("gram_n") == n).drop("gram_n"),
+                num_perm,
+                threshold,
+            )
             .select("a", "b", "n_common", "jaccard", F.lit(n).alias("gram_n"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -232,48 +232,89 @@ def ivf_topk(
     brute-force ``cosine_topk`` is the exact baseline both are measured
     against (see tests/test_similarity.py recall checks).
     """
-    seeds = F.broadcast(
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    # seeds + queries are tiny deterministic head sets (sqrt(n)-ish rows)
+    # — pulled driver-side ONCE and embedded as int64 literals in the
+    # Arrow kernels, exactly like hyperplane_lsh_topk's plane literals.
+    # The r2 version evaluated _qdist2/quantized_cosine as interpreted
+    # higher-order lambdas per (row x cell/candidate) — wscg=0, 16 s at
+    # sf0.1; this GEMM form does the identical integer math in numpy.
+    head = (
         emb.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb"))
+        .limit(max(n_cells, n_queries))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    d2 = _qdist2(F.col("embedding"), F.col("c_emb"))
-    # nearest cell per vector: min(struct) keeps the agg map-side partial
-    # (no window sort over the n x n_cells expansion)
-    asg = (
-        emb.crossJoin(seeds)
-        .select("vec_id", "embedding", "cell_id", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "cell_id")).alias("best"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", F.col("best.cell_id").alias("cell_id"))
+    head_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    head_q = _quantize_np(np.array([r["embedding"] for r in head], dtype=np.float64))
+    C, cell_ids = head_q[:n_cells], head_ids[:n_cells]  # sorted by vec_id
+    cn2 = (C.astype(np.float64) ** 2).sum(axis=1).astype(np.int64)  # exact < 2^53
+    Qm, query_ids = head_q[:n_queries], head_ids[:n_queries]
+    qn2 = (Qm.astype(np.float64) ** 2).sum(axis=1).astype(np.int64)
+
+    # probe selection (n_queries x n_cells) is driver-side numpy: exact
+    # integer L2, ties -> smaller cell_id (= smaller index, argsort stable)
+    qd2 = qn2[:, None] - 2 * (Qm @ C.T) + cn2[None, :]
+    probe_rows = [
+        (int(query_ids[qi]), int(cell_ids[ci]))
+        for qi in range(len(query_ids))
+        for ci in np.argsort(qd2[qi], kind="stable")[:n_probe]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell_id bigint")
+
+    emb_t = emb.schema["embedding"].dataType.simpleString()
+    qpos = {int(v): i for i, v in enumerate(query_ids)}
+
+    def assign(batches):
+        """cell assignment: ONE int64 GEMM per Arrow batch (exact ties ->
+        smaller cell_id because argmin returns the first minimum and C is
+        ordered by cell_id)."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
+            # argmin over d2 = |x|^2 - 2<x,c> + |c|^2; |x|^2 is constant
+            # per row, so argmin(-2<x,c> + |c|^2) suffices (exact ints)
+            part = -2 * (X @ C.T) + cn2[None, :]
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cell_id"] = cell_ids[np.argmin(part, axis=1)]
+            yield out
+
+    asg = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema=f"vec_id bigint, embedding {emb_t}, cell_id bigint"
     )
-    q = emb.orderBy("vec_id").limit(n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell_id"))
-    probes = (
-        q.crossJoin(seeds)
-        .select(
-            "query_id", "q_emb", "cell_id",
-            _qdist2(F.col("q_emb"), F.col("c_emb")).alias("d2"),
-        )
-        .withColumn("cell_rank", F.row_number().over(wp))
-        .filter(F.col("cell_rank") <= n_probe)
-        .select("query_id", "q_emb", "cell_id")
-    )
+
+    def score(batches):
+        """quantized cosine vs the in-closure query matrix, vectorized:
+        identical float64 op order to the JVM/SQL form
+        (exact int64 dot -> double / sqrt(double * double))."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
+            xn2 = (X.astype(np.float64) ** 2).sum(axis=1)
+            qi = np.array([qpos[int(v)] for v in pdf["query_id"]], dtype=np.int64)
+            rows = np.arange(len(pdf))
+            dot = (X @ Qm.T)[rows, qi].astype(np.float64)  # exact < 2^53
+            cos = _round_half_away(
+                dot / np.sqrt(qn2[qi].astype(np.float64) * xn2), round_digits
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
     sim = (
         asg.join(F.broadcast(probes), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                quantized_cosine(F.col("q_emb"), F.col("embedding")), round_digits
-            ).alias("cosine"),
-        )
+        .select("query_id", "vec_id", "embedding")
+        .mapInPandas(score, schema="query_id bigint, neighbor_id bigint, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
