@@ -214,22 +214,38 @@ def _clips_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+_VERIFIED_CACHE: dict = {}
+
+
 def _clips_verified(spark: SparkSession):
     """Shared sketch -> LSH -> score -> verify path over the fixture;
-    returns (clips, truth, sketches, verified)."""
+    returns (clips, truth, sketches, verified).
+
+    Memoized per (Spark application, fixture dir): three driver queries
+    consume this path, and each previously re-ran the whole
+    sketch -> LSH -> score -> verify chain (8-13 s each at local[32]).
+    The localCheckpointed results are valid for the life of the session,
+    so the second and later consumers pay only the lookup."""
     from kmcp_spark.config import PipelineConfig
     from kmcp_spark.operators.lsh import band_buckets, candidate_pairs
     from kmcp_spark.operators.sketch import sketch_clips
     from kmcp_spark.operators.verify import score_pairs, verify_pairs
 
+    key = (spark.sparkContext.applicationId, _FIXTURE_DIR)
+    hit = _VERIFIED_CACHE.get(key)
+    if hit is not None:
+        return hit
     cfg = PipelineConfig()
     clips, truth = _clips_corpus(spark)
     sk = sketch_clips(clips, cfg).localCheckpoint(eager=True)
     pairs, _ = candidate_pairs(
         band_buckets(sk, cfg.lsh.bands, cfg.lsh.rows_per_band), cfg.lsh.max_bucket
     )
-    verified = verify_pairs(score_pairs(pairs, sk, cfg), clips, cfg)
-    return clips, truth, sk, verified
+    verified = verify_pairs(score_pairs(pairs, sk, cfg), clips, cfg).localCheckpoint(
+        eager=True
+    )
+    _VERIFIED_CACHE[key] = (clips, truth, sk, verified)
+    return _VERIFIED_CACHE[key]
 
 
 def _clips_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -243,7 +259,6 @@ def _clips_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     clips, truth, sk, verified = _clips_verified(spark)
-    verified = verified.localCheckpoint(eager=True)
     _write_aux(
         sk.select("clip_id", "codes_text", "codes_audio", "size"),
         "clips_sketches",

@@ -154,6 +154,10 @@ def bench_queries(sf_dir: str, cores: int, result: dict | None = None) -> dict[s
         except Exception as ex:  # report, don't die
             log(f"  {name}: ERROR {ex}")
             out[name] = -1.0
+        # drop relations the query persisted internally: keeps the
+        # session's memory profile flat across 29 queries and each
+        # timing independent of its predecessors
+        spark.catalog.clearCache()
         if result is not None:
             partial = dict(result)
             partial["queries"] = dict(out)

@@ -52,12 +52,17 @@ def connected_components(
     distributed hash-min + pointer-jumping loop below.  Both paths are
     equivalence-tested (`test_cluster.py::test_cc_driver_and_loop_agree`).
     """
+    from kmcp_spark.runtime import persistent_ids, unpersist_ids
+
+    sc = pairs.sparkSession.sparkContext
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
     )
+    ids0 = persistent_ids(sc)
     edges = edges.localCheckpoint(eager=True)
+    edge_ids = persistent_ids(sc) - ids0
     n_edges = edges.count()  # cheap: counts the checkpointed blocks
 
     if n_edges <= driver_max_edges:
@@ -71,7 +76,9 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        rows = edges.collect()
+        unpersist_ids(sc, edge_ids)  # labels below are built from driver data
+        for row in rows:
             a, b = row.src, row.dst
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -103,6 +110,7 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("clip_id"))
     )
+    prev_round_ids: set[int] = set()
     for it in range(max_iters):
         # candidate new label per node: min over own label and neighbor labels
         nbr_min = (
@@ -140,8 +148,14 @@ def connected_components(
         # recompute the whole lineage, and lineage must stay O(1) deep
         # (checkpoint_every kept for API compat; every-round is strictly
         # safer and labels are one small row per node)
+        ids_before = persistent_ids(sc)
         new_labels = new_labels.localCheckpoint(eager=True)
+        this_round_ids = persistent_ids(sc) - ids_before
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+        # the previous round's checkpoint is superseded — release it so
+        # the loop holds exactly one label snapshot at a time
+        unpersist_ids(sc, prev_round_ids)
+        prev_round_ids = this_round_ids
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
@@ -150,6 +164,9 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds; "
             "clusters would be silently split — raise max_iters"
         )
+    # the final label snapshot is self-contained — the edge blocks are
+    # no longer reachable from the returned plan
+    unpersist_ids(sc, edge_ids)
     if all_nodes is not None:
         labels = (
             all_nodes.select("clip_id")
@@ -218,10 +235,14 @@ def reassign_by_support(
     reassignment decides final membership, exactly the stage-3/stage-4
     split of the reference profiler.
     """
+    from kmcp_spark.runtime import persistent_ids, unpersist_ids
+
+    sc = pairs.sparkSession.sparkContext
     w = F.col(score_col)
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), w.alias("_w")
     ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), w.alias("_w")))
+    prev_round_ids: set[int] = set()
     for _ in range(iters):
         support = (
             edges.join(labels.withColumnRenamed("clip_id", "dst"), "dst")
@@ -234,6 +255,7 @@ def reassign_by_support(
             .filter(F.col("_rn") == 1)
             .select(F.col("src").alias("clip_id"), F.col("cluster_id").alias("_new"))
         )
+        ids_before = persistent_ids(sc)
         labels = (
             labels.join(best, "clip_id", "left")
             .select(
@@ -241,6 +263,9 @@ def reassign_by_support(
             )
             .localCheckpoint(eager=True)
         )
+        # release the previous iteration's superseded snapshot
+        unpersist_ids(sc, prev_round_ids)
+        prev_round_ids = persistent_ids(sc) - ids_before
     return labels
 
 

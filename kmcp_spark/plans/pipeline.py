@@ -98,7 +98,14 @@ class DedupPipeline:
     def run(
         self, clips: DataFrame, force: bool = False, diagnostics: bool = False
     ) -> PipelineResult:
+        from kmcp_spark.runtime import persistent_ids, unpersist_ids
+
         cfg = self.cfg
+        # every stage output is flushed to parquet, so ANY block persisted
+        # during the run (virtual band relation, CC round checkpoints) is
+        # releasable once the stages complete — swept at the end so a
+        # long-lived session keeps a flat cache footprint across runs
+        ids_at_entry = persistent_ids(self.spark.sparkContext)
 
         # F4 minimum-query-length gate (kmcp drops queries shorter than
         # the k-mer size, `kmcp/cmd/util-db-search.go:778-786`): clips too
@@ -200,6 +207,15 @@ class DedupPipeline:
             # bucket-size histogram = `utils index-density` analog
             self._stage("bucket_histogram", lambda: bucket_stats(buckets), force=force)
 
+        # the virtual band relation was consumed by the candidates stage
+        # (and diagnostics); release it, then sweep any remaining blocks
+        # created during this run (e.g. the CC loop's final label
+        # snapshot — superseded by the clusters parquet checkpoint)
+        buckets.unpersist()
+        unpersist_ids(
+            self.spark.sparkContext,
+            persistent_ids(self.spark.sparkContext) - ids_at_entry,
+        )
         self._write_metrics()
         return PipelineResult(clusters=clusters, verified=verified, metrics=self.metrics)
 
