@@ -54,6 +54,14 @@ def _aux_glob(name: str) -> str:
     return os.path.join(_AUX_DIR, name, "*.parquet")
 
 
+def _oracle_sf() -> str:
+    """The driver compares Spark and DuckDB at sf0.01; sf-dependent
+    aux-table names in oracle_sql() resolve through this env knob so a
+    check at another sf compares against THAT sf's staged tables, never
+    a stale sf0.01 copy (set SPARK_GRAFT_ORACLE_SF=sf0.1 for sf0.1)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH near-dup detection over documents at sf0.001
     (sketch → band join → exact verification — the full dedup path)."""
@@ -534,7 +542,7 @@ def _ann_ivf_sql(
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_simhash": f"""
-            WITH s AS (SELECT * FROM read_parquet('{_aux_glob("simhash_sigs_sf0.01")}'))
+            WITH s AS (SELECT * FROM read_parquet('{_aux_glob(f"simhash_sigs_{_oracle_sf()}")}'))
             SELECT a.doc_id AS a, b.doc_id AS b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -47,18 +47,46 @@ def checkpoint_valid(path: str, fingerprint: str) -> bool:
 
 
 def write_checkpoint(
-    df: DataFrame, path: str, fingerprint: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    fingerprint: str,
+    partition_by: list[str] | None = None,
+    fmt: str | None = None,
 ) -> None:
-    """Write a stage output durably; the marker lands only on success."""
+    """Write a stage output durably; the marker lands only on success.
+
+    ``fmt`` selects the table format: "parquet" (default) or "iceberg".
+    On a cluster with an Iceberg catalog configured, pass fmt="iceberg"
+    (or set SPARK_GRAFT_CHECKPOINT_FORMAT=iceberg) and ``path`` is used
+    as the table identifier — stages then get Iceberg's snapshot
+    isolation and atomic overwrite.  This sandbox has no Iceberg runtime
+    jar, so parquet directories with the atomic ``_FINGERPRINT`` marker
+    provide the same skip-if-valid resume semantics.
+    """
+    fmt = fmt or os.environ.get("SPARK_GRAFT_CHECKPOINT_FORMAT", "parquet")
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
-    with open(_marker(path), "w") as f:
-        json.dump({"fingerprint": fingerprint, "written_at": time.time()}, f)
+    if fmt == "iceberg":
+        w.format("iceberg").saveAsTable(_iceberg_ident(path))
+    else:
+        w.parquet(path)
+        with open(_marker(path), "w") as f:
+            json.dump({"fingerprint": fingerprint, "written_at": time.time()}, f)
 
 
-def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+def _iceberg_ident(path: str) -> str:
+    """Map a checkpoint path to an Iceberg table identifier (the last two
+    path components become namespace.table)."""
+    parts = [p for p in path.replace("\\", "/").split("/") if p]
+    safe = [p.replace("-", "_").replace(".", "_") for p in parts[-2:]]
+    return ".".join(safe)
+
+
+def read_checkpoint(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    fmt = fmt or os.environ.get("SPARK_GRAFT_CHECKPOINT_FORMAT", "parquet")
+    if fmt == "iceberg":
+        return spark.read.table(_iceberg_ident(path))
     return spark.read.parquet(path)
 
 
@@ -71,7 +99,11 @@ def checkpoint_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for name in os.listdir(path):
-        if name.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    # os.walk, not listdir: a checkpoint written with partition_by puts
+    # its files in subdirectories — a flat listing would silently report
+    # rows_out=0 for partitioned stages
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
     return total
