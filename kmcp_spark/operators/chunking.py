@@ -234,3 +234,89 @@ def aggregate_chunk_matches(
             F.countDistinct(small_side_chunk) / F.min("min_n_chunks")
         ).alias("matched_chunk_frac"),
     )
+
+
+def depth_dispersion_gate(
+    matched_chunk_pairs: DataFrame,
+    chunk_sketches: DataFrame,
+    labels: DataFrame,
+    max_rel_depth_std: float = 2.0,
+) -> DataFrame:
+    """Per-member chunk-depth dispersion gate — the analog of kmcp
+    profile's stage-3 ``chunksRelDepthStd`` filter
+    (`kmcp/cmd/profile.go:1832-1841`: per-chunk depths are normalized to
+    mean 1, ``RelDepth[i] = QLen[i]/Qlens*len(QLen)``, and targets with
+    stdev above ``--max-chunks-depth-stdev``, default 2.0, are dropped;
+    stdev via `kmcp/cmd/util.go:381-405`).
+
+    Here a member's per-chunk depth is the summed chunk-Jaccard of its
+    intra-cluster chunk matches (the accumulated-query-length analog);
+    chunks with no match count as depth 0.  A genuine near-dup member is
+    covered evenly (rel-depth stdev ~0); a false member attached through
+    one shared segment concentrates all depth in one chunk, giving
+    stdev ~sqrt(n_chunks - 1) — gated.
+
+    Since mean(rel_depth) == 1 by construction, the population variance
+    reduces to sum(rel_i^2)/n_chunks - 1, so unmatched chunks need no
+    rows — one aggregate over matched chunk matches, no explode.
+
+    Returns (clip_id, cluster_id, rel_depth_std, depth_gate_passed):
+    failing members are RE-SINGLETONED (cluster_id = own clip_id),
+    exactly like kmcp removing the target from the profile.  Members of
+    single-member clusters and clips with <2 chunks pass trivially
+    (dispersion is undefined there; kmcp likewise skips 1-chunk refs).
+    """
+    la = labels.select(F.col("clip_id").alias("a"), F.col("cluster_id").alias("_ca"))
+    lb = labels.select(F.col("clip_id").alias("b"), F.col("cluster_id").alias("_cb"))
+    intra = (
+        matched_chunk_pairs.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("_ca") == F.col("_cb"))
+    )
+    # per (member clip, chunk) accumulated depth, both pair directions
+    depth = (
+        intra.select(F.col("a").alias("clip_id"), F.col("a_chunk").alias("chunk_idx"),
+                     F.col("chunk_jaccard").alias("w"))
+        .unionByName(
+            intra.select(F.col("b").alias("clip_id"), F.col("b_chunk").alias("chunk_idx"),
+                         F.col("chunk_jaccard").alias("w"))
+        )
+        .groupBy("clip_id", "chunk_idx")
+        .agg(F.sum("w").alias("d"))
+    )
+    nck = chunk_sketches.select("clip_id", "n_chunks").distinct()
+    stats = (
+        depth.groupBy("clip_id")
+        .agg(F.sum("d").alias("_total"), F.sum(F.col("d") * F.col("d")).alias("_sumsq"))
+        .join(nck, "clip_id")
+        .select(
+            "clip_id",
+            # rel_i = d_i/total*n; pop var = sum(rel_i^2)/n - 1
+            F.sqrt(
+                F.greatest(
+                    F.col("_sumsq") / (F.col("_total") * F.col("_total")) * F.col("n_chunks")
+                    - F.lit(1.0),
+                    F.lit(0.0),
+                )
+            ).alias("rel_depth_std"),
+            "n_chunks",
+        )
+    )
+    out = labels.join(stats, "clip_id", "left").select(
+        "clip_id",
+        "cluster_id",
+        F.coalesce("rel_depth_std", F.lit(0.0)).alias("rel_depth_std"),
+        (
+            F.col("rel_depth_std").isNull()          # no intra-cluster matches -> singleton anyway
+            | (F.col("n_chunks") < 2)                # dispersion undefined
+            | (F.col("rel_depth_std") <= max_rel_depth_std)
+        ).alias("depth_gate_passed"),
+    )
+    return out.select(
+        "clip_id",
+        F.when(F.col("depth_gate_passed"), F.col("cluster_id"))
+        .otherwise(F.col("clip_id"))
+        .alias("cluster_id"),
+        F.round("rel_depth_std", 6).alias("rel_depth_std"),
+        "depth_gate_passed",
+    )

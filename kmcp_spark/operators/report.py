@@ -2,13 +2,15 @@
 
 kmcp emits one result in several formats (KMCP profile / CAMI /
 MetaPhlAn / binning, `kmcp/cmd/profile.go:2882,3014,2955,2612`).  The
-dedup analogs:
+dedup analogs, one per reference format:
 
   - cluster_summary: one row per duplicate cluster (the profile table).
   - dedup_manifest: one row per clip with a keep/drop decision (the
-    binning table — which "bin"/cluster each item belongs to and
-    whether it survives dedup).
+    CAMI-style roster — every item, its assignment, survival).
   - cluster_sizes_histogram: distribution report (index-density analog).
+  - binning_export: one row per MEMBER with its cluster lineage and
+    per-member support score (the `profile.go:2612` binning table
+    analog: read -> ref mapping with the match statistic).
 
 All are plain DataFrames; ``write_reports`` materializes each under a
 directory (parquet + a CSV copy for human eyes).
@@ -66,12 +68,46 @@ def cluster_sizes_histogram(clusters: DataFrame) -> DataFrame:
     )
 
 
+def binning_export(clusters: DataFrame, verified: DataFrame) -> DataFrame:
+    """Per-member binning rows (the `kmcp/cmd/profile.go:2612` binning
+    format analog): (clip_id, cluster_id, canonical_clip, is_canonical,
+    member_score) for every member of a multi-member cluster, where
+    member_score is the member's best verified-edge similarity into its
+    cluster (the per-read match-statistic column of the reference's
+    binning table; canonical members with no outgoing edge row still
+    appear, scored by their incoming edges)."""
+    members = clusters.filter(F.col("cluster_size") > 1)
+    canon = members.filter(F.col("is_canonical")).select(
+        "cluster_id", F.col("clip_id").alias("canonical_clip")
+    )
+    # undirected incident edges per member
+    edges = verified.select(
+        F.col("a").alias("clip_id"), F.col("similarity_pct").alias("_s")
+    ).unionByName(
+        verified.select(F.col("b").alias("clip_id"), F.col("similarity_pct").alias("_s"))
+    )
+    support = edges.groupBy("clip_id").agg(F.max("_s").alias("member_score"))
+    return (
+        members.join(canon, "cluster_id")
+        .join(support, "clip_id", "left")
+        .select(
+            "clip_id",
+            "cluster_id",
+            "canonical_clip",
+            "is_canonical",
+            F.round(F.coalesce("member_score", F.lit(0.0)), 3).alias("member_score"),
+        )
+        .orderBy("cluster_id", "clip_id")
+    )
+
+
 def write_reports(out_dir: str, clusters: DataFrame, verified: DataFrame) -> dict:
     """Materialize every report format; returns row counts."""
     reports = {
         "cluster_summary": cluster_summary(clusters, verified),
         "dedup_manifest": dedup_manifest(clusters),
         "cluster_sizes_histogram": cluster_sizes_histogram(clusters),
+        "binning_export": binning_export(clusters, verified),
     }
     counts = {}
     for name, df in reports.items():

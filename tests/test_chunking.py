@@ -80,3 +80,59 @@ def test_chunk_sketch_determinism(spark, embedded_corpus):
     assert s1["size"].tolist() == s2["size"].tolist()
     for x, y in zip(s1["minhash"], s2["minhash"]):
         assert np.array_equal(x, y)
+
+
+def test_depth_dispersion_gate_drops_uneven_member(spark):
+    """Stage-3 parity (kmcp chunksRelDepthStd): a false member whose
+    intra-cluster matches concentrate on ONE of its chunks is
+    re-singletoned; evenly-covered genuine members pass."""
+    from kmcp_spark.operators.chunking import depth_dispersion_gate
+
+    # genuine members c1,c2 (4 chunks each, every chunk matched) + false
+    # member c4 (8 chunks, all depth on chunk 0) in one cluster
+    matched = spark.createDataFrame(
+        [("c1", i, "c2", i, 0.9) for i in range(4)]
+        + [("c1", 0, "c4", 0, 0.9)],
+        "a string, a_chunk int, b string, b_chunk int, chunk_jaccard double",
+    )
+    sketches = spark.createDataFrame(
+        [("c1", 4), ("c2", 4), ("c4", 8)], "clip_id string, n_chunks int"
+    )
+    labels = spark.createDataFrame(
+        [("c1", "c1"), ("c2", "c1"), ("c4", "c1")],
+        "clip_id string, cluster_id string",
+    )
+    out = depth_dispersion_gate(matched, sketches, labels).toPandas().set_index("clip_id")
+    # c4: rel_depth = [8,0,...]; pop std = sqrt(8-1) ~ 2.65 > 2.0 -> dropped
+    assert not out.loc["c4", "depth_gate_passed"]
+    assert out.loc["c4", "cluster_id"] == "c4"
+    assert abs(out.loc["c4", "rel_depth_std"] - 7 ** 0.5) < 1e-6
+    # genuine members pass: c2 is perfectly even (std 0); c1 carries the
+    # false member's extra depth on chunk 0 (rel depths [1.6,.8,.8,.8],
+    # std ~0.346) but stays far under the 2.0 gate
+    for c in ("c1", "c2"):
+        assert out.loc[c, "depth_gate_passed"]
+        assert out.loc[c, "cluster_id"] == "c1"
+    assert out.loc["c2", "rel_depth_std"] < 1e-9
+    assert abs(out.loc["c1", "rel_depth_std"] - 0.12 ** 0.5) < 1e-5
+
+
+def test_depth_dispersion_gate_trivial_cases(spark):
+    """Singletons (no matches) and 1-chunk clips pass trivially."""
+    from kmcp_spark.operators.chunking import depth_dispersion_gate
+
+    matched = spark.createDataFrame(
+        [("s1", 0, "s2", 0, 0.9)],
+        "a string, a_chunk int, b string, b_chunk int, chunk_jaccard double",
+    )
+    sketches = spark.createDataFrame(
+        [("s1", 1), ("s2", 1), ("lone", 4)], "clip_id string, n_chunks int"
+    )
+    labels = spark.createDataFrame(
+        [("s1", "s1"), ("s2", "s1"), ("lone", "lone")],
+        "clip_id string, cluster_id string",
+    )
+    out = depth_dispersion_gate(matched, sketches, labels).toPandas().set_index("clip_id")
+    assert out["depth_gate_passed"].all()
+    assert out.loc["s1", "cluster_id"] == "s1"
+    assert out.loc["lone", "cluster_id"] == "lone"

@@ -25,3 +25,14 @@ def test_reports(spark, tmp_out):
     hist = spark.read.parquet(os.path.join(tmp_out, "reports", "cluster_sizes_histogram"))
     total = hist.select(F.sum(F.col("cluster_size") * F.col("n_clusters"))).first()[0]
     assert total == 120
+    # binning export: every multi-member cluster member appears once,
+    # with its cluster's canonical and a non-negative support score
+    binning = spark.read.parquet(os.path.join(tmp_out, "reports", "binning_export"))
+    n_members = res.clusters.filter(F.col("cluster_size") > 1).count()
+    assert counts["binning_export"] == n_members
+    assert binning.filter(F.col("canonical_clip").isNull()).count() == 0
+    assert binning.filter(F.col("member_score") < 0).count() == 0
+    one_canon = binning.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("k")
+    )
+    assert one_canon.filter(F.col("k") != 1).count() == 0
