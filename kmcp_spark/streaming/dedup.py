@@ -23,12 +23,20 @@ Two operators:
   accumulates in executor memory.
 
 Scale notes: per batch, candidate generation shuffles batch ∪ index
-bands once; the index side re-bands per batch, which is the simple
-variant — a production refinement persists the band table instead
-(identical result, one narrow map saved per batch).  The clip archive
-is re-read only for the transcripts of PLAUSIBLE pairs (column-pruned
-scan; at scale the archive is partitioned by ingest date so file
-pruning applies).
+bands once; the index side's band rows come from a PERSISTED band table
+(``<index_dir>_bands``) appended per batch, so prior batches are never
+re-banded — per-batch map work scales with the batch, not the index.
+The clip archive is re-read only for the transcripts of PLAUSIBLE pairs
+(column-pruned scan; at scale the archive is partitioned by ingest date
+so file pruning applies).
+
+Restart safety: ``foreachBatch`` is at-least-once, so every sink write
+is keyed by ``batch_id`` (one ``batch_id=N`` directory per batch,
+overwrite-per-batch).  A replayed batch finds its committed directories
+(``_SUCCESS`` present) and skips them — flags and index rows appear
+exactly once no matter where a failure lands between the three writes.
+Partially-written directories (no ``_SUCCESS``) are excluded from reads
+and simply overwritten on replay.
 """
 
 from __future__ import annotations
@@ -78,33 +86,82 @@ def streaming_exact_dedup(
     return writer.trigger(processingTime="10 seconds").start()
 
 
+def _batch_path(root: str, batch_id: int) -> str:
+    return os.path.join(root, f"batch_id={batch_id}")
+
+
+def _is_committed(root: str, batch_id: int) -> bool:
+    return os.path.exists(os.path.join(_batch_path(root, batch_id), "_SUCCESS"))
+
+
+def _committed_paths(root: str, exclude_batch_id: int) -> list[str]:
+    """Committed batch_id=N subdirectories, excluding the given batch
+    (a replayed batch must not read its own partial output)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid != exclude_batch_id and os.path.exists(os.path.join(root, name, "_SUCCESS")):
+            out.append(os.path.join(root, name))
+    return out
+
+
 def _flag_batch(
-    batch: DataFrame, index_dir: str, flags_dir: str, archive_dir: str, cfg: PipelineConfig
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    flags_dir: str,
+    archive_dir: str,
+    cfg: PipelineConfig,
 ) -> None:
-    """One micro-batch: sketch, probe index, verify, append flags+index."""
+    """One micro-batch: sketch, probe index, verify, write flags + index
+    + band rows — each sink idempotent per batch_id (see module doc)."""
     spark = batch.sparkSession
+    bands_dir = index_dir + "_bands"
+    flags_done = _is_committed(flags_dir, batch_id)
+    index_done = _is_committed(index_dir, batch_id)
+    bands_done = _is_committed(bands_dir, batch_id)
+    if flags_done and index_done and bands_done:
+        return  # fully-committed replay (foreachBatch is at-least-once)
     sk_new = sketch_clips(batch, cfg).localCheckpoint(eager=True)
-    if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
-        sk_all = sk_new.unionByName(spark.read.parquet(index_dir))
-    else:
-        sk_all = sk_new
-    buckets = band_buckets(sk_all, cfg.lsh.bands, cfg.lsh.rows_per_band)
-    pairs, _ = candidate_pairs(buckets, cfg.lsh.max_bucket)
-    # only pairs that touch this batch are new information — pairs
-    # entirely within the index were flagged when their batch arrived
-    nid = sk_new.select("clip_id")
-    pairs_new = (
-        pairs.join(nid.withColumnRenamed("clip_id", "a"), "a", "leftsemi")
-        .unionByName(pairs.join(nid.withColumnRenamed("clip_id", "b"), "b", "leftsemi"))
-        .dropDuplicates(["a", "b"])
-    )
-    scored = score_pairs(pairs_new, sk_all, cfg)
-    # transcripts for the LCS stage come from the archive (all files the
-    # stream has ever seen, incl. this batch) — column-pruned scan
-    clips_hist = spark.read.schema(CLIPS_SCHEMA).parquet(archive_dir)
-    flags = verify_pairs(scored, clips_hist, cfg)
-    flags.write.mode("append").parquet(flags_dir)
-    sk_new.write.mode("append").parquet(index_dir)
+    bands_new = band_buckets(sk_new, cfg.lsh.bands, cfg.lsh.rows_per_band)
+    if not flags_done:
+        # prior batches' band rows come from the persisted band table —
+        # the index is banded once, on arrival, never again
+        prior_band_paths = _committed_paths(bands_dir, batch_id)
+        buckets = (
+            bands_new.unionByName(spark.read.parquet(*prior_band_paths))
+            if prior_band_paths
+            else bands_new
+        )
+        pairs, _ = candidate_pairs(buckets, cfg.lsh.max_bucket)
+        # only pairs that touch this batch are new information — pairs
+        # entirely within the index were flagged when their batch arrived
+        nid = sk_new.select("clip_id")
+        pairs_new = (
+            pairs.join(nid.withColumnRenamed("clip_id", "a"), "a", "leftsemi")
+            .unionByName(pairs.join(nid.withColumnRenamed("clip_id", "b"), "b", "leftsemi"))
+            .dropDuplicates(["a", "b"])
+        )
+        prior_index_paths = _committed_paths(index_dir, batch_id)
+        sk_all = (
+            sk_new.unionByName(spark.read.parquet(*prior_index_paths))
+            if prior_index_paths
+            else sk_new
+        )
+        scored = score_pairs(pairs_new, sk_all, cfg)
+        # transcripts for the LCS stage come from the archive (all files
+        # the stream has ever seen, incl. this batch) — column-pruned scan
+        clips_hist = spark.read.schema(CLIPS_SCHEMA).parquet(archive_dir)
+        flags = verify_pairs(scored, clips_hist, cfg)
+        flags.write.mode("overwrite").parquet(_batch_path(flags_dir, batch_id))
+    if not bands_done:
+        bands_new.write.mode("overwrite").parquet(_batch_path(bands_dir, batch_id))
+    if not index_done:
+        sk_new.write.mode("overwrite").parquet(_batch_path(index_dir, batch_id))
 
 
 def streaming_neardup_flags(
@@ -119,9 +176,11 @@ def streaming_neardup_flags(
     """Start the incremental near-dup flagging stream.
 
     ``input_dir`` is both the drop directory and the clip archive;
-    ``index_dir`` accumulates one sketch row per clip ever seen;
-    ``flags_dir`` accumulates verified dup pairs, each appearing exactly
-    once (in the batch where its second member arrived)."""
+    ``index_dir`` accumulates one sketch row per clip ever seen (band
+    rows persist alongside in ``<index_dir>_bands``); ``flags_dir``
+    accumulates verified dup pairs, each appearing exactly once (in the
+    batch where its second member arrived) — guaranteed across restarts
+    by the per-batch_id committed-directory protocol (module doc)."""
     cfg = cfg or PipelineConfig()
     stream = (
         spark.readStream.schema(CLIPS_SCHEMA)
@@ -129,7 +188,7 @@ def streaming_neardup_flags(
         .parquet(input_dir)
     )
     writer = stream.writeStream.foreachBatch(
-        lambda b, _id: _flag_batch(b, index_dir, flags_dir, input_dir, cfg)
+        lambda b, bid: _flag_batch(b, int(bid), index_dir, flags_dir, input_dir, cfg)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         q = writer.trigger(availableNow=True).start()

@@ -72,3 +72,37 @@ def test_streaming_neardup_flags_cross_batch(spark, tmp_out):
     # a third run with no new files must not re-flag anything
     streaming_neardup_flags(spark, in_dir, index, flags, ckpt, cfg)
     assert spark.read.parquet(flags).count() == len(expected)
+
+
+def test_flag_batch_replay_is_idempotent(spark, tmp_out):
+    """foreachBatch is at-least-once: re-running a batch_id whose sinks
+    committed must be a no-op (no duplicate flags or index rows)."""
+    from kmcp_spark.streaming.dedup import _flag_batch
+
+    in_dir = os.path.join(tmp_out, "in")
+    index = os.path.join(tmp_out, "index")
+    flags = os.path.join(tmp_out, "flags")
+    os.makedirs(in_dir)
+    cfg = PipelineConfig()
+
+    _drop(spark, in_dir, [40] + list(range(20, 30)))
+    batch0 = spark.read.parquet(in_dir)
+    _flag_batch(batch0, 0, index, flags, in_dir, cfg)
+    _drop(spark, in_dir, [41, 42, 43])
+    batch1 = spark.read.parquet(in_dir).filter("clip_id > 'clip_0000000040'")
+    _flag_batch(batch1, 1, index, flags, in_dir, cfg)
+
+    n_flags = spark.read.parquet(flags).count()
+    n_index = spark.read.parquet(index).count()
+    assert n_flags == 6 and n_index == 14
+
+    # replay both batches (same batch_id): fully-committed -> no-op
+    _flag_batch(batch0, 0, index, flags, in_dir, cfg)
+    _flag_batch(batch1, 1, index, flags, in_dir, cfg)
+    assert spark.read.parquet(flags).count() == n_flags
+    assert spark.read.parquet(index).count() == n_index
+
+    # the band table holds exactly one committed dir per batch — prior
+    # batches are never re-banded
+    bands = sorted(os.listdir(index + "_bands"))
+    assert bands == ["batch_id=0", "batch_id=1"]
