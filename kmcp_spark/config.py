@@ -148,6 +148,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # audio rows are large; smaller splits balance the map waves
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # measured on this corpus (PCM16 + random 64-bit hashes — both
+        # incompressible): snappy EXPANDS the bytes column 6% (71.3 vs
+        # 67.1 MB per 500-clip file) and zstd-3 saves only 7% while
+        # costing a decode pass (pyarrow scan 0.33 s vs 0.22 s
+        # uncompressed).  Uncompressed is smallest-total-time for the
+        # bus-bound scan stages; see BENCH/BASELINE.md "data plane"
+        .config("spark.sql.parquet.compression.codec", "uncompressed")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
