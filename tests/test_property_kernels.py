@@ -110,3 +110,76 @@ def test_char_kgram_counts_match_python_oracle(texts, k):
         clean = t.replace("\x00", "")
         want = {clean[i : i + k] for i in range(max(len(clean) - k + 1, 0))}
         assert len(s) == len(want), (t, k)
+
+
+# --- r3 cache-resident chunking: bit-equivalence vs the naive form ---
+# The chunked kernels (minhash: perm loop inside row-aligned chunks;
+# simhash: uint16 segment sums per chunk) must return exactly what the
+# straightforward whole-batch implementations return, for any mix of
+# row sizes (including rows larger than the chunk bound and empty rows).
+
+def _naive_minhash(sets, num_perm, master_seed=42):
+    from kmcp_spark.functions.hashing import derive_seeds
+
+    out = np.full((len(sets), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    seeds = derive_seeds(num_perm, master_seed)
+    for i, s in enumerate(sets):
+        if len(s) == 0:
+            continue
+        for p in range(num_perm):
+            out[i, p] = splitmix64(np.asarray(s, dtype=np.uint64), seed=int(seeds[p])).min()
+    return out
+
+
+def _naive_simhash(sets):
+    out = np.zeros(len(sets), dtype=np.uint64)
+    for i, s in enumerate(sets):
+        if len(s) == 0:
+            continue
+        bits = np.unpackbits(
+            np.asarray(s, dtype="<u8").view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little",
+        ).astype(np.int64).sum(axis=0)
+        fp = (bits > len(s) / 2.0).astype(np.uint8)
+        out[i] = np.packbits(fp, bitorder="little").copy().view("<u8")[0]
+    return out
+
+
+row_sizes = st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=12)
+
+
+@settings(max_examples=30, deadline=None)
+@given(row_sizes, st.integers(min_value=0, max_value=2**32))
+def test_chunked_minhash_matches_naive(sizes, seed):
+    sets = [
+        splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(i * 1_000_003), seed=seed)
+        for i, n in enumerate(sizes)
+    ]
+    got = minhash_signatures(sets, 16, master_seed=7)
+    assert (got == _naive_minhash(sets, 16, master_seed=7)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(row_sizes, st.integers(min_value=0, max_value=2**32))
+def test_chunked_simhash_matches_naive(sizes, seed):
+    sets = [
+        splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(i * 999_983), seed=seed)
+        for i, n in enumerate(sizes)
+    ]
+    assert (simhash64(sets) == _naive_simhash(sets)).all()
+
+
+def test_chunked_minhash_row_larger_than_chunk():
+    """A single row bigger than the 48k-element chunk bound is processed
+    alone and still matches the naive signature."""
+    big = splitmix64(np.arange(60_000, dtype=np.uint64), seed=3)
+    small = splitmix64(np.arange(10, dtype=np.uint64), seed=4)
+    sets = [small, big, np.empty(0, dtype=np.uint64)]
+    got = minhash_signatures(sets, 8, master_seed=1)
+    assert (got == _naive_minhash(sets, 8, master_seed=1)).all()
+
+
+def test_chunked_simhash_row_larger_than_chunk():
+    big = splitmix64(np.arange(40_000, dtype=np.uint64), seed=5)
+    sets = [big, splitmix64(np.arange(3, dtype=np.uint64), seed=6)]
+    assert (simhash64(sets) == _naive_simhash(sets)).all()
