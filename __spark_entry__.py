@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_sketch_stats": _clips_sketch_stats,
         "clips_dup_pairs": _clips_dup_pairs,
         "clips_chunked_matches": _clips_chunked_matches,
+        "clips_depth_gate": _clips_depth_gate,
         "clips_recall_precision": _clips_recall_precision,
     }
 
@@ -345,6 +346,29 @@ def _clips_chunked_matches(spark: SparkSession, sf: str) -> DataFrame:
         sketch_clips_chunked,
     )
 
+    from kmcp_spark.operators.chunking import aggregate_chunk_matches
+
+    sk2, pairs = _clips_chunked(spark)
+    return aggregate_chunk_matches(pairs, sk2, min_chunk_jaccard=0.5)
+
+
+_CHUNKED_CACHE: dict = {}
+
+
+def _clips_chunked(spark: SparkSession):
+    """Shared chunk-sketch + candidate path over the fixture, memoized
+    per application like _clips_verified; returns (chunk_sketches_aux,
+    chunk_pairs).  Also stages the chunk-sketch aux table for DuckDB."""
+    from kmcp_spark.config import PipelineConfig
+    from kmcp_spark.operators.chunking import (
+        chunk_candidate_pairs,
+        sketch_clips_chunked,
+    )
+
+    key = (spark.sparkContext.applicationId, _FIXTURE_DIR)
+    hit = _CHUNKED_CACHE.get(key)
+    if hit is not None:
+        return hit
     cfg = PipelineConfig()
     clips, _ = _clips_corpus(spark)
     sk = sketch_clips_chunked(clips, cfg, chunk_sec=0.5, overlap_sec=0.1)
@@ -354,9 +378,43 @@ def _clips_chunked_matches(spark: SparkSession, sf: str) -> DataFrame:
         "clips_chunk_sketches",
         ["clip_id", "chunk_idx"],
     )
-    pairs = chunk_candidate_pairs(sk, bands=cfg.sketch.num_perm, rows_per_band=1)
+    pairs = chunk_candidate_pairs(
+        sk, bands=cfg.sketch.num_perm, rows_per_band=1
+    ).localCheckpoint(eager=True)
     sk2 = spark.read.parquet(aux)
-    return aggregate_chunk_matches(pairs, sk2, min_chunk_jaccard=0.5)
+    _CHUNKED_CACHE[key] = (sk2, pairs)
+    return _CHUNKED_CACHE[key]
+
+
+def _clips_depth_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Profile stage-3 depth-dispersion gate (chunksRelDepthStd analog,
+    `kmcp/cmd/profile.go:1832-1841`) on the deterministic corpus.
+
+    Oracle strategy: matched chunk-level pairs are staged as an aux
+    table along with the truth labels; DuckDB re-derives the whole gate
+    — per-chunk quantized depth sums, rel-depth stdev (mean normalized
+    to 1), pass/fail and re-singletoning — from those tables, so every
+    decision the gate takes is value-checked."""
+    from kmcp_spark.operators.chunking import depth_dispersion_gate, score_chunk_pairs
+    from pyspark.sql import functions as F
+
+    sk2, pairs = _clips_chunked(spark)
+    _, truth = _clips_corpus(spark)
+    matched = (
+        score_chunk_pairs(pairs, sk2)
+        .filter(F.col("chunk_jaccard") >= 0.5)
+        .select("a", "a_chunk", "b", "b_chunk", F.round("chunk_jaccard", 9).alias("chunk_jaccard"))
+    )
+    matched = matched.localCheckpoint(eager=True)
+    _write_aux(matched, "clips_chunk_matched", ["a", "a_chunk", "b", "b_chunk"])
+    labels = truth.select("clip_id", "cluster_id")
+    _write_aux(labels, "clips_truth_labels", ["clip_id"])
+    return depth_dispersion_gate(
+        spark.read.parquet(os.path.join(_AUX_DIR, "clips_chunk_matched")),
+        sk2,
+        spark.read.parquet(os.path.join(_AUX_DIR, "clips_truth_labels")),
+        max_rel_depth_std=2.0,
+    )
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -824,6 +882,50 @@ def oracle_sql() -> dict[str, str]:
                      * 1.0 / min(min_n_chunks) AS matched_chunk_frac
             FROM scored WHERE chunk_jaccard >= 0.5
             GROUP BY a, b
+        """,
+        # clips_depth_gate: DuckDB re-derives the whole stage-3 gate
+        # (quantized per-chunk depth sums, rel-depth stdev, pass/fail,
+        # re-singletoning) from the staged matched-chunk + truth-label
+        # tables — integer depth sums make the math engine-exact.
+        "clips_depth_gate": f"""
+            WITH m AS (SELECT * FROM read_parquet('{_aux_glob("clips_chunk_matched")}')),
+            L AS (SELECT * FROM read_parquet('{_aux_glob("clips_truth_labels")}')),
+            nck AS (
+              SELECT DISTINCT clip_id, n_chunks
+              FROM read_parquet('{_aux_glob("clips_chunk_sketches")}')
+            ),
+            intra AS (
+              SELECT m.* FROM m
+              JOIN L la ON m.a = la.clip_id
+              JOIN L lb ON m.b = lb.clip_id
+              WHERE la.cluster_id = lb.cluster_id
+            ),
+            depth AS (
+              SELECT clip_id, chunk_idx, SUM(w) AS d FROM (
+                SELECT a AS clip_id, a_chunk AS chunk_idx,
+                       CAST(round(chunk_jaccard * 1000000) AS BIGINT) AS w FROM intra
+                UNION ALL
+                SELECT b, b_chunk,
+                       CAST(round(chunk_jaccard * 1000000) AS BIGINT) FROM intra
+              ) GROUP BY 1, 2
+            ),
+            stats AS (
+              SELECT d.clip_id,
+                     sqrt(greatest(
+                       SUM(d.d * d.d) / (SUM(d.d) * SUM(d.d)) * any_value(n.n_chunks)
+                       - 1.0, 0.0)) AS rel_depth_std,
+                     any_value(n.n_chunks) AS n_chunks
+              FROM depth d JOIN nck n USING (clip_id)
+              GROUP BY d.clip_id
+            )
+            SELECT L.clip_id,
+                   CASE WHEN (s.rel_depth_std IS NULL OR s.n_chunks < 2
+                              OR s.rel_depth_std <= 2.0)
+                        THEN L.cluster_id ELSE L.clip_id END AS cluster_id,
+                   round(coalesce(s.rel_depth_std, 0.0), 6) AS rel_depth_std,
+                   (s.rel_depth_std IS NULL OR s.n_chunks < 2
+                    OR s.rel_depth_std <= 2.0) AS depth_gate_passed
+            FROM L LEFT JOIN stats s ON L.clip_id = s.clip_id
         """,
         # clips_sketch_stats: the sketch kernel itself (audio decode +
         # FFT + MinHash) has no SQL equivalent and staging it as an aux

@@ -172,18 +172,11 @@ def chunk_candidate_pairs(
     )
 
 
-def aggregate_chunk_matches(
-    chunk_pairs: DataFrame,
-    chunk_sketches: DataFrame,
-    min_chunk_jaccard: float = 0.5,
-) -> DataFrame:
-    """Score chunk pairs exactly and roll up per clip pair.
-
-    Output per (a, b): best_chunk_jaccard / best_chunk_containment (the
-    qCov analog), n_matched_chunks, matched_chunk_frac (the chunksFrac
-    analog, `kmcp/cmd/profile.go:1018-1099` — fraction of the
-    smaller clip's chunks with a matching partner).
-    """
+def score_chunk_pairs(chunk_pairs: DataFrame, chunk_sketches: DataFrame) -> DataFrame:
+    """Exact chunk-level scores for candidate chunk pairs: joins each
+    side back to its code set and computes chunk Jaccard + containment
+    JVM-side (shared by the per-clip-pair roll-up and the
+    depth-dispersion gate)."""
     sk = chunk_sketches.select(
         "clip_id", "chunk_idx", "codes", "size", "n_chunks"
     )
@@ -202,7 +195,7 @@ def aggregate_chunk_matches(
         )
     )
     inter = F.size(F.array_intersect(F.col("ca.codes"), F.col("cb.codes")))
-    scored = j.select(
+    return j.select(
         "a",
         "b",
         "a_chunk",
@@ -217,6 +210,21 @@ def aggregate_chunk_matches(
         F.col("cb.n_chunks").alias("nb_chunks"),
         F.least("ca.n_chunks", "cb.n_chunks").alias("min_n_chunks"),
     )
+
+
+def aggregate_chunk_matches(
+    chunk_pairs: DataFrame,
+    chunk_sketches: DataFrame,
+    min_chunk_jaccard: float = 0.5,
+) -> DataFrame:
+    """Score chunk pairs exactly and roll up per clip pair.
+
+    Output per (a, b): best_chunk_jaccard / best_chunk_containment (the
+    qCov analog), n_matched_chunks, matched_chunk_frac (the chunksFrac
+    analog, `kmcp/cmd/profile.go:1018-1099` — fraction of the
+    smaller clip's chunks with a matching partner).
+    """
+    scored = score_chunk_pairs(chunk_pairs, chunk_sketches)
     matched = scored.filter(F.col("chunk_jaccard") >= min_chunk_jaccard)
     # chunksFrac counts the matched chunks OF THE SMALLER CLIP over that
     # same clip's chunk count (kmcp's chunksFrac is over the target's own
@@ -273,13 +281,19 @@ def depth_dispersion_gate(
         .join(lb, "b")
         .filter(F.col("_ca") == F.col("_cb"))
     )
-    # per (member clip, chunk) accumulated depth, both pair directions
+    # per (member clip, chunk) accumulated depth, both pair directions.
+    # weights are quantized to int64 at 1e6 scale BEFORE summing so the
+    # cross-row aggregate is exact integer math — bit-identical in any
+    # engine/partitioning (double sums are fold-order-dependent in the
+    # last ulp, which would make the gate nondeterministic at the
+    # threshold boundary and break the SQL oracle)
+    wq = F.round(F.col("chunk_jaccard") * 1_000_000).cast("long")
     depth = (
         intra.select(F.col("a").alias("clip_id"), F.col("a_chunk").alias("chunk_idx"),
-                     F.col("chunk_jaccard").alias("w"))
+                     wq.alias("w"))
         .unionByName(
             intra.select(F.col("b").alias("clip_id"), F.col("b_chunk").alias("chunk_idx"),
-                         F.col("chunk_jaccard").alias("w"))
+                         wq.alias("w"))
         )
         .groupBy("clip_id", "chunk_idx")
         .agg(F.sum("w").alias("d"))
