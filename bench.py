@@ -66,7 +66,15 @@ def emit(result: dict, phase: str) -> None:
     result["phase"] = phase
     result["bench_wall_sec"] = round(time.time() - T0, 1)
     _BEST = result
-    print(json.dumps(result), flush=True)
+    line = json.dumps(result)
+    print(line, flush=True)
+    # belt-and-braces: the same line lands in a file, so the artifact
+    # survives even a stdout-capture failure
+    try:
+        with open(os.path.join(REPO, "_bench_partial.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 def _on_kill(signum, frame):
