@@ -184,6 +184,61 @@ def cmd_dedup(args) -> dict:
     }
 
 
+def cmd_utils_index_density(args) -> dict:
+    """`kmcp utils index-density` analog (`kmcp/cmd/index-density.go`):
+    bucket-size histogram of a band-bucket index."""
+    from kmcp_spark.operators.lsh import bucket_stats
+    from kmcp_spark.sources.tables import checkpoint_rows
+
+    spark = get_spark(app="kmcp_index_density", cores=args.cores)
+    idx = spark.read.parquet(args.index)
+    _write(bucket_stats(idx), args.out_dir)
+    return {"cmd": "utils-index-density", "out": args.out_dir,
+            "rows": checkpoint_rows(args.out_dir)}
+
+
+def cmd_utils_index_info(args) -> dict:
+    """`kmcp utils index-info` analog (`kmcp/cmd/index-info.go`):
+    summary stats of a band-bucket index (driver-side, one agg job)."""
+    spark = get_spark(app="kmcp_index_info", cores=args.cores)
+    idx = spark.read.parquet(args.index)
+    row = idx.agg(
+        F.count("*").alias("band_rows"),
+        F.countDistinct("clip_id").alias("n_clips"),
+        F.countDistinct("band_id").alias("n_bands"),
+        F.countDistinct("band_id", "band_hash").alias("n_buckets"),
+    ).first()
+    return {"cmd": "utils-index-info", **row.asDict()}
+
+
+def cmd_utils_query_fpr(args) -> dict:
+    """`kmcp utils query-fpr` analog (`kmcp/cmd/query-fpr.go`): chance
+    false-positive probability of a query reaching ``t`` matches out of
+    ``n`` under per-item FPR ``f`` (exact binomial tail + Chernoff)."""
+    from kmcp_spark.functions.stats import query_fpr, query_fpr_chernoff
+
+    return {
+        "cmd": "utils-query-fpr",
+        "n": args.n,
+        "t": args.t,
+        "f": args.f,
+        "query_fpr": query_fpr(args.n, args.t, args.f),
+        "chernoff_bound": query_fpr_chernoff(args.n, args.t, args.f),
+    }
+
+
+def cmd_utils_cov2simi(args) -> dict:
+    """`kmcp utils cov2simi` analog (`kmcp/cmd/cov2simi.go:55`): the
+    published qCov -> sequence-similarity%% cubic model (X10)."""
+    from kmcp_spark.functions.stats import cov2simi
+
+    return {
+        "cmd": "utils-cov2simi",
+        "qcov": args.qcov,
+        "similarity_pct": float(cov2simi(args.qcov)),
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kmcp_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -225,6 +280,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", required=True)
     common(sp)
     sp.set_defaults(fn=cmd_dedup)
+
+    # `kmcp utils ...` diagnostic surface
+    sp = sub.add_parser("utils-index-density", help="bucket-size histogram of an index")
+    sp.add_argument("--index", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_utils_index_density)
+
+    sp = sub.add_parser("utils-index-info", help="summary stats of an index")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--cores", type=int, default=None)
+    sp.set_defaults(fn=cmd_utils_index_info)
+
+    sp = sub.add_parser("utils-query-fpr", help="binomial chance-match FPR (no Spark)")
+    sp.add_argument("--n", type=int, required=True, help="trials (bands / k-mers)")
+    sp.add_argument("--t", type=int, required=True, help="match threshold")
+    sp.add_argument("--f", type=float, required=True, help="per-trial FPR")
+    sp.set_defaults(fn=cmd_utils_query_fpr)
+
+    sp = sub.add_parser("utils-cov2simi", help="qCov -> similarity%% cubic (no Spark)")
+    sp.add_argument("--qcov", type=float, required=True)
+    sp.set_defaults(fn=cmd_utils_cov2simi)
     return p
 
 

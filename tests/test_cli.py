@@ -76,3 +76,28 @@ def test_cli_merge(spark, tmp_out):
     main(["compute", "--input", clips_b, "--out-dir", sb, "--cores", "8"])
     r = main(["merge", "--inputs", sa, sb, "--out-dir", merged, "--cores", "8"])
     assert r["rows"] == 15  # union of 10 + 10 with 5 dups
+
+
+def test_cli_utils(spark, tmp_out):
+    clips = os.path.join(tmp_out, "clips")
+    sk = os.path.join(tmp_out, "sk")
+    idx = os.path.join(tmp_out, "idx")
+    dens = os.path.join(tmp_out, "dens")
+    _write_clips(spark, clips, list(range(0, 20)))
+    main(["compute", "--input", clips, "--out-dir", sk, "--cores", "8"])
+    main(["index", "--sketches", sk, "--out-dir", idx, "--cores", "8"])
+
+    r = main(["utils-index-density", "--index", idx, "--out-dir", dens, "--cores", "8"])
+    assert r["rows"] > 0
+    hist = spark.read.parquet(dens).toPandas()
+    assert (hist["bucket_size"] >= 1).all() and (hist["n_buckets"] >= 1).all()
+
+    r = main(["utils-index-info", "--index", idx, "--cores", "8"])
+    assert r["n_clips"] == 20 and r["n_bands"] == 32
+    assert r["band_rows"] == 20 * 32 and r["n_buckets"] <= r["band_rows"]
+
+    r = main(["utils-query-fpr", "--n", "32", "--t", "2", "--f", "0.05"])
+    assert 0 < r["query_fpr"] < 1 and r["chernoff_bound"] >= r["query_fpr"] * 0.01
+
+    r = main(["utils-cov2simi", "--qcov", "1.0"])
+    assert 98.0 <= r["similarity_pct"] <= 100.0
