@@ -135,12 +135,28 @@ def cmd_profile(args) -> dict:
     from kmcp_spark.operators.report import write_reports
     from kmcp_spark.sources.tables import checkpoint_rows
 
+    from kmcp_spark.config import profile_mode
+
     spark = get_spark(app="kmcp_profile", cores=args.cores)
     cfg = PipelineConfig()
+    mode = profile_mode(getattr(args, "mode", 3))
     matches = spark.read.parquet(args.matches)
     if "query_id" in matches.columns:  # accept `search` output verbatim
         matches = matches.withColumnRenamed("query_id", "a").withColumnRenamed(
             "target_id", "b"
+        )
+    # -m preset gates (`kmcp/cmd/profile.go:230-326`): qCov floor, and
+    # the keep-main-matches absolute score-gap filter (profile.go:896:
+    # drop when best_qcov - qcov > maxScoreGap)
+    matches = matches.filter(F.col("containment") >= mode.min_qcov)
+    if mode.keep_main_match:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("a")
+        matches = (
+            matches.withColumn("_best", F.max("containment").over(w))
+            .filter(F.col("containment") >= F.col("_best") - mode.max_score_gap)
+            .drop("_best")
         )
     sk = spark.read.parquet(args.sketches)
     edges = prune_weak_edges(matches, alpha=cfg.cc_prune_alpha)
@@ -152,7 +168,7 @@ def cmd_profile(args) -> dict:
     clusters = cluster_report(labels)
     _write(clusters, args.out_dir + "/clusters")
     paths = write_reports(args.out_dir, clusters, matches)
-    return {"cmd": "profile", "out": args.out_dir,
+    return {"cmd": "profile", "out": args.out_dir, "mode": mode.mode,
             "clusters_rows": checkpoint_rows(args.out_dir + "/clusters"),
             "reports": sorted(paths)}
 
@@ -268,6 +284,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("profile", help="matches -> clusters + reports")
     sp.add_argument("--matches", required=True)
     sp.add_argument("--sketches", required=True)
+    sp.add_argument("--mode", type=int, default=3,
+                    help="preset 0 (max recall) .. 5 (max precision), kmcp -m analog")
     common(sp)
     sp.set_defaults(fn=cmd_profile)
 

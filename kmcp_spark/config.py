@@ -86,6 +86,48 @@ class VerifyConfig:
 
 
 @dataclass(frozen=True)
+class ProfileModeConfig:
+    """`kmcp profile -m` preset analog (`kmcp/cmd/profile.go:230-326`,
+    modes 0-5 from "pathogen detection" through "higher precision").
+
+    Mapping to this pipeline's knobs (reference field -> here):
+      hicUreadsMinQcov  -> min_qcov           (qCov analog = containment)
+      minFragsProp      -> min_chunk_frac     (chunksFrac gate, chunked path)
+      maxFragsDepthStdev-> max_rel_depth_std  (depth-dispersion gate)
+      keepMainMatch     -> keep_main_match    (best-gap filter W2/F7)
+      maxScoreGap       -> max_score_gap
+    minReads/minUReads/minHicUreads count uniquely-mapped reads per
+    reference — a read-abundance notion with no clip-dedup analog
+    (documented n/a, like taxonomy).
+    """
+
+    mode: int
+    min_qcov: float
+    min_chunk_frac: float
+    max_rel_depth_std: float
+    keep_main_match: bool
+    max_score_gap: float
+
+
+# values transcribed from the reference's presetParams table
+# (`kmcp/cmd/profile.go:243-314`); mode 3 is the documented default
+PROFILE_MODES: dict[int, ProfileModeConfig] = {
+    0: ProfileModeConfig(0, 0.7, 0.2, 10.0, True, 0.4),
+    1: ProfileModeConfig(1, 0.7, 0.6, 2.0, False, 0.4),
+    2: ProfileModeConfig(2, 0.7, 0.7, 2.0, False, 0.4),
+    3: ProfileModeConfig(3, 0.75, 0.8, 2.0, False, 0.4),
+    4: ProfileModeConfig(4, 0.8, 1.0, 2.0, False, 0.4),
+    5: ProfileModeConfig(5, 0.8, 1.0, 1.5, False, 0.4),
+}
+
+
+def profile_mode(mode: int) -> ProfileModeConfig:
+    if mode not in PROFILE_MODES:
+        raise ValueError(f"invalid profiling mode: {mode} (0-5)")
+    return PROFILE_MODES[mode]
+
+
+@dataclass(frozen=True)
 class PipelineConfig:
     sketch: SketchConfig = field(default_factory=SketchConfig)
     lsh: LSHConfig = field(default_factory=LSHConfig)

@@ -101,3 +101,36 @@ def test_cli_utils(spark, tmp_out):
 
     r = main(["utils-cov2simi", "--qcov", "1.0"])
     assert 98.0 <= r["similarity_pct"] <= 100.0
+
+
+def test_cli_profile_modes(spark, tmp_out):
+    """kmcp -m presets: stricter modes keep a subset of looser modes'
+    multi-member cluster memberships (monotone precision)."""
+    clips = os.path.join(tmp_out, "clips")
+    sk = os.path.join(tmp_out, "sk")
+    idx = os.path.join(tmp_out, "idx")
+    hits = os.path.join(tmp_out, "hits")
+    _write_clips(spark, clips, list(range(0, 60)))
+    main(["compute", "--input", clips, "--out-dir", sk, "--cores", "8"])
+    main(["index", "--sketches", sk, "--out-dir", idx, "--cores", "8"])
+    main(["search", "--query", clips, "--index", idx, "--sketches", sk,
+          "--out-dir", hits, "--cores", "8"])
+
+    def members(mode):
+        out = os.path.join(tmp_out, f"prof_m{mode}")
+        r = main(["profile", "--matches", hits, "--sketches", sk,
+                  "--out-dir", out, "--cores", "8", "--mode", str(mode)])
+        assert r["mode"] == mode
+        cl = spark.read.parquet(os.path.join(out, "clusters")).toPandas()
+        return {(row.clip_id, row.cluster_id)
+                for row in cl.itertuples() if row.cluster_size > 1}
+
+    m0, m5 = members(0), members(5)
+    assert m5 <= m0  # strictest preset never adds memberships
+    from kmcp_spark.config import PROFILE_MODES, profile_mode
+    assert profile_mode(3).min_qcov == 0.75  # reference defaults (profile.go:3174+)
+    qc = [PROFILE_MODES[m].min_qcov for m in range(6)]
+    assert qc == sorted(qc)
+    import pytest
+    with pytest.raises(ValueError):
+        profile_mode(6)
