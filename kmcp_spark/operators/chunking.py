@@ -216,13 +216,17 @@ def aggregate_chunk_matches(
     chunk_pairs: DataFrame,
     chunk_sketches: DataFrame,
     min_chunk_jaccard: float = 0.5,
+    min_chunk_frac: float = 0.0,
 ) -> DataFrame:
     """Score chunk pairs exactly and roll up per clip pair.
 
     Output per (a, b): best_chunk_jaccard / best_chunk_containment (the
     qCov analog), n_matched_chunks, matched_chunk_frac (the chunksFrac
     analog, `kmcp/cmd/profile.go:1018-1099` — fraction of the
-    smaller clip's chunks with a matching partner).
+    smaller clip's chunks with a matching partner).  ``min_chunk_frac``
+    is the -p/--min-chunks-fraction gate (`kmcp/cmd/profile.go:3088`,
+    preset per ProfileModeConfig): pairs whose matched fraction falls
+    below it are dropped from the roll-up.
     """
     scored = score_chunk_pairs(chunk_pairs, chunk_sketches)
     matched = scored.filter(F.col("chunk_jaccard") >= min_chunk_jaccard)
@@ -234,7 +238,7 @@ def aggregate_chunk_matches(
     small_side_chunk = F.when(
         F.col("na_chunks") <= F.col("nb_chunks"), F.col("a_chunk")
     ).otherwise(F.col("b_chunk"))
-    return matched.groupBy("a", "b").agg(
+    rolled = matched.groupBy("a", "b").agg(
         F.max("chunk_jaccard").alias("best_chunk_jaccard"),
         F.max("chunk_containment").alias("best_chunk_containment"),
         F.countDistinct("a_chunk", "b_chunk").alias("n_matched_chunks"),
@@ -242,6 +246,9 @@ def aggregate_chunk_matches(
             F.countDistinct(small_side_chunk) / F.min("min_n_chunks")
         ).alias("matched_chunk_frac"),
     )
+    if min_chunk_frac > 0.0:
+        rolled = rolled.filter(F.col("matched_chunk_frac") >= min_chunk_frac)
+    return rolled
 
 
 def depth_dispersion_gate(

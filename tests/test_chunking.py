@@ -136,3 +136,27 @@ def test_depth_dispersion_gate_trivial_cases(spark):
     assert out["depth_gate_passed"].all()
     assert out.loc["s1", "cluster_id"] == "s1"
     assert out.loc["lone", "cluster_id"] == "lone"
+
+
+def test_min_chunk_frac_gate(spark):
+    """-p/--min-chunks-fraction preset gate: a pair matching only a small
+    fraction of the smaller clip's chunks is dropped at high presets."""
+    from kmcp_spark.operators.chunking import aggregate_chunk_matches
+
+    # one chunk pair matched out of 4 chunks on the smaller side
+    pairs = spark.createDataFrame(
+        [("x", 0, "y", 0, 1)],
+        "a string, a_chunk int, b string, b_chunk int, shared_bands long",
+    )
+    codes = list(range(1, 40))
+    sk = spark.createDataFrame(
+        [("x", c, codes, len(codes), 4) for c in range(4)]
+        + [("y", c, codes, len(codes), 6) for c in range(6)],
+        "clip_id string, chunk_idx int, codes array<bigint>, size long, n_chunks int",
+    )
+    loose = aggregate_chunk_matches(pairs, sk, min_chunk_jaccard=0.5).toPandas()
+    assert len(loose) == 1 and abs(loose.matched_chunk_frac.iloc[0] - 0.25) < 1e-9
+    strict = aggregate_chunk_matches(
+        pairs, sk, min_chunk_jaccard=0.5, min_chunk_frac=0.8
+    ).toPandas()
+    assert len(strict) == 0
