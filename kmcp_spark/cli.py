@@ -200,6 +200,55 @@ def cmd_dedup(args) -> dict:
     }
 
 
+def cmd_filter(args) -> dict:
+    """`kmcp filter` analog (`kmcp/cmd/filter.go:42`: filter search
+    results by score thresholds before profiling): qCov floor
+    (-t/--min-query-cov), chance-FPR cap via the shared-bands floor
+    (-f/--max-fpr, X9 math), optional top-N per query and keep-main
+    score-gap — the same gates `search`/`profile` apply, exposed as a
+    standalone relocatable step."""
+    from kmcp_spark.operators.verify import min_bands_for_fpr
+    from kmcp_spark.sources.tables import checkpoint_rows
+
+    spark = get_spark(app="kmcp_filter", cores=args.cores)
+    cfg = PipelineConfig()
+    m = spark.read.parquet(args.matches)
+    qcol = "query_id" if "query_id" in m.columns else "a"
+    floor = max(
+        cfg.verify.min_shared_bands,
+        min_bands_for_fpr(
+            cfg.lsh.bands, cfg.lsh.rows_per_band, cfg.verify.null_jaccard, args.max_fpr
+        ),
+    )
+    out = m.filter(
+        (F.col("containment") >= args.min_query_cov)
+        & (F.col("shared_bands") >= floor)
+    )
+    if args.keep_main:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(qcol)
+        out = (
+            out.withColumn("_best", F.max("containment").over(w))
+            .filter(F.col("containment") >= F.col("_best") - args.max_score_gap)
+            .drop("_best")
+        )
+    if args.top:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(qcol).orderBy(
+            F.desc("containment"), F.asc("b" if qcol == "a" else "target_id")
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= args.top)
+            .drop("_rn")
+        )
+    _write(out, args.out_dir)
+    return {"cmd": "filter", "out": args.out_dir, "min_shared_bands": floor,
+            "rows": checkpoint_rows(args.out_dir)}
+
+
 def cmd_utils_index_density(args) -> dict:
     """`kmcp utils index-density` analog (`kmcp/cmd/index-density.go`):
     bucket-size histogram of a band-bucket index."""
@@ -298,6 +347,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", required=True)
     common(sp)
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("filter", help="filter search results by score gates")
+    sp.add_argument("--matches", required=True)
+    sp.add_argument("--min-query-cov", type=float, default=0.55,
+                    help="-t analog (kmcp/cmd/filter.go:417)")
+    sp.add_argument("--max-fpr", type=float, default=0.05,
+                    help="-f analog (kmcp/cmd/filter.go:414)")
+    sp.add_argument("--top", type=int, default=0)
+    sp.add_argument("--keep-main", action="store_true")
+    sp.add_argument("--max-score-gap", type=float, default=0.4)
+    common(sp)
+    sp.set_defaults(fn=cmd_filter)
 
     # `kmcp utils ...` diagnostic surface
     sp = sub.add_parser("utils-index-density", help="bucket-size histogram of an index")

@@ -134,3 +134,24 @@ def test_cli_profile_modes(spark, tmp_out):
     import pytest
     with pytest.raises(ValueError):
         profile_mode(6)
+
+
+def test_cli_filter(spark, tmp_out):
+    clips = os.path.join(tmp_out, "clips")
+    sk = os.path.join(tmp_out, "sk")
+    idx = os.path.join(tmp_out, "idx")
+    hits = os.path.join(tmp_out, "hits")
+    filt = os.path.join(tmp_out, "filt")
+    _write_clips(spark, clips, list(range(0, 60)))
+    main(["compute", "--input", clips, "--out-dir", sk, "--cores", "8"])
+    main(["index", "--sketches", sk, "--out-dir", idx, "--cores", "8"])
+    r = main(["search", "--query", clips, "--index", idx, "--sketches", sk,
+              "--out-dir", hits, "--cores", "8"])
+    n_hits = r["rows"]
+
+    r = main(["filter", "--matches", hits, "--min-query-cov", "0.55",
+              "--top", "3", "--keep-main", "--out-dir", filt, "--cores", "8"])
+    assert 0 < r["rows"] <= n_hits
+    out = spark.read.parquet(filt).toPandas()
+    assert (out["containment"] >= 0.55).all()
+    assert out.groupby("query_id").size().max() <= 3
