@@ -276,6 +276,23 @@ def cmd_utils_index_info(args) -> dict:
     return {"cmd": "utils-index-info", **row.asDict()}
 
 
+def cmd_utils_sketch_info(args) -> dict:
+    """`kmcp utils unik-info`/`ref-info` analog (`kmcp/cmd/unik-info.go`,
+    `ref-info.go`): summary stats of a sketch table."""
+    spark = get_spark(app="kmcp_sketch_info", cores=args.cores)
+    sk = spark.read.parquet(args.sketches)
+    row = sk.agg(
+        F.count("*").alias("n_clips"),
+        F.sum((~F.col("decode_ok")).cast("int")).alias("n_decode_failed"),
+        F.round(F.avg("size"), 2).alias("mean_sketch_size"),
+        F.min("size").alias("min_sketch_size"),
+        F.max("size").alias("max_sketch_size"),
+        F.round(F.avg("n_audio"), 2).alias("mean_audio_shingles"),
+        F.round(F.avg("n_text"), 2).alias("mean_text_shingles"),
+    ).first()
+    return {"cmd": "utils-sketch-info", **row.asDict()}
+
+
 def cmd_utils_query_fpr(args) -> dict:
     """`kmcp utils query-fpr` analog (`kmcp/cmd/query-fpr.go`): chance
     false-positive probability of a query reaching ``t`` matches out of
@@ -370,6 +387,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--index", required=True)
     sp.add_argument("--cores", type=int, default=None)
     sp.set_defaults(fn=cmd_utils_index_info)
+
+    sp = sub.add_parser("utils-sketch-info", help="summary stats of a sketch table")
+    sp.add_argument("--sketches", required=True)
+    sp.add_argument("--cores", type=int, default=None)
+    sp.set_defaults(fn=cmd_utils_sketch_info)
 
     sp = sub.add_parser("utils-query-fpr", help="binomial chance-match FPR (no Spark)")
     sp.add_argument("--n", type=int, required=True, help="trials (bands / k-mers)")

@@ -96,6 +96,10 @@ def test_cli_utils(spark, tmp_out):
     assert r["n_clips"] == 20 and r["n_bands"] == 32
     assert r["band_rows"] == 20 * 32 and r["n_buckets"] <= r["band_rows"]
 
+    r = main(["utils-sketch-info", "--sketches", sk, "--cores", "8"])
+    assert r["n_clips"] == 20 and r["n_decode_failed"] == 0
+    assert 0 < r["min_sketch_size"] <= r["mean_sketch_size"] <= r["max_sketch_size"]
+
     r = main(["utils-query-fpr", "--n", "32", "--t", "2", "--f", "0.05"])
     assert 0 < r["query_fpr"] < 1 and r["chernoff_bound"] >= r["query_fpr"] * 0.01
 
