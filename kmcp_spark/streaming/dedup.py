@@ -58,9 +58,19 @@ def streaming_exact_dedup(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    watermark: str | None = None,
 ):
     """Emit only the first clip per content hash (dual-seeded xxhash64,
-    the exact-dup short-circuit of the batch pipeline as a stream)."""
+    the exact-dup short-circuit of the batch pipeline as a stream).
+
+    ``watermark`` (e.g. "24 hours") switches to the bounded-state
+    production variant: ``dropDuplicatesWithinWatermark`` over an
+    ingest-time column, so the state store holds only the watermark
+    horizon instead of all history (reposts beyond the horizon are
+    re-emitted — at 10^12-clip scale unbounded exact-dedup state is the
+    batch pipeline's job; the stream's job is the recent horizon).
+    Default (None) keeps all-history semantics, matching the batch
+    pipeline exactly."""
     stream = (
         spark.readStream.schema(CLIPS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -72,7 +82,15 @@ def streaming_exact_dedup(
             "h2": F.xxhash64(F.lit(2), "bytes", "transcript"),
         }
     )
-    deduped = hashed.dropDuplicates(["h1", "h2"]).drop("h1", "h2")
+    if watermark:
+        deduped = (
+            hashed.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["h1", "h2"])
+            .drop("h1", "h2", "ingest_ts")
+        )
+    else:
+        deduped = hashed.dropDuplicates(["h1", "h2"]).drop("h1", "h2")
     writer = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)

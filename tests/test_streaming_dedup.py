@@ -106,3 +106,22 @@ def test_flag_batch_replay_is_idempotent(spark, tmp_out):
     # batches are never re-banded
     bands = sorted(os.listdir(index + "_bands"))
     assert bands == ["batch_id=0", "batch_id=1"]
+
+
+def test_streaming_exact_dedup_watermark_variant(spark, tmp_out):
+    """Bounded-state variant: within the watermark horizon, reposts are
+    suppressed exactly like the all-history default."""
+    in_dir = os.path.join(tmp_out, "in")
+    out_dir = os.path.join(tmp_out, "out")
+    ckpt = os.path.join(tmp_out, "ckpt")
+    os.makedirs(in_dir)
+
+    _drop(spark, in_dir, range(20, 30))
+    streaming_exact_dedup(spark, in_dir, out_dir, ckpt, watermark="1 hour")
+    assert spark.read.parquet(out_dir).count() == 10
+
+    _drop(spark, in_dir, list(range(20, 25)) + list(range(60, 65)))
+    streaming_exact_dedup(spark, in_dir, out_dir, ckpt, watermark="1 hour")
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 15
+    assert out.select("clip_id").distinct().count() == 15
