@@ -135,6 +135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_multi_k": lambda sp, sf: D.multi_k_dup_pairs(
             _t(sp, sf, "documents"), ks=(5, 4, 3), threshold=0.4
         ),
+        "dedup_decontaminate": lambda sp, sf: D.benchmark_contamination(
+            _t(sp, sf, "documents"),
+            _t(sp, sf, "documents").orderBy("doc_id").limit(20),
+            n=3,
+            min_common=2,
+        ),
         # --- the clip pipeline itself, driven on a deterministic
         # synthetic corpus (input_hint schema).  The audio kernels have
         # no SQL equivalent, so their outputs are staged as aux tables
@@ -605,6 +611,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        # decontamination: benchmark = first 20 docs; corpus docs (bench
+        # excluded) flagged when sharing >= 2 distinct 3-grams with it
+        "dedup_decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                           for i in range(1, len(ws) - 1)])) AS gram
+              FROM w WHERE len(ws) >= 3
+            ),
+            bench_ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+            bg AS (SELECT doc_id AS bench_id, gram FROM g
+                   WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+            dg AS (SELECT * FROM g
+                   WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids))
+            SELECT dg.doc_id,
+                   count(DISTINCT dg.gram) AS n_contaminated_grams,
+                   count(DISTINCT bg.bench_id) AS n_bench_docs
+            FROM dg JOIN bg USING (gram)
+            GROUP BY dg.doc_id
+            HAVING count(DISTINCT dg.gram) >= 2
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

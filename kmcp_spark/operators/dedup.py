@@ -536,3 +536,42 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_common: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination scan: flag corpus docs sharing word
+    n-grams with a (small) held-out benchmark set — the standard
+    training-data hygiene step (GPT-3 appendix C's 13-gram overlap rule;
+    at n=13 a single shared gram is a near-certain leak).  The kmcp
+    analog is `search` probing queries against a reference index
+    (`kmcp/cmd/util-db-search.go:763-1025`) with the roles reversed:
+    here the BENCHMARK is the indexed side.
+
+    Scale shape: the benchmark gram relation is tiny (benchmarks are
+    thousands of rows, not billions) and broadcast; the corpus side is
+    one scan + one broadcast hash join + one partial-agg groupBy — no
+    shuffle of corpus grams.  Returns one row per contaminated doc:
+    (doc_id, n_contaminated_grams, n_bench_docs) — grams shared with
+    ANY benchmark doc, counted distinct; docs in ``bench`` itself are
+    excluded from the output.
+    """
+    bench_ids = bench.select("doc_id")
+    bg = (
+        word_ngrams_df(bench, n)
+        .select(F.col("doc_id").alias("bench_id"), "gram")
+    )
+    dg = word_ngrams_df(docs.join(bench_ids, "doc_id", "left_anti"), n)
+    hits = dg.join(F.broadcast(bg), "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_contaminated_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_contaminated_grams") >= min_common)
+    )

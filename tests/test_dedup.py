@@ -132,3 +132,25 @@ def test_nul_byte_does_not_split_shingles():
     # and neighboring rows stay isolated
     two = char_kgram_hashes_batch(["abcdefgh", "zzzzzzzz"], k=4)
     assert np.array_equal(two[0], clean)
+
+
+def test_benchmark_contamination(spark):
+    """A doc sharing a long phrase with a benchmark doc is flagged;
+    unrelated docs and the benchmark docs themselves are not."""
+    from kmcp_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),     # bench
+            (1, "completely unrelated words here nothing shared"),  # bench
+            (10, "he said the quick brown fox jumps far away"),     # leak of 0
+            (11, "zebra yak xylophone walrus vulture turtle snail"),# clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id < 10")
+    out = benchmark_contamination(docs, bench, n=3, min_common=2).toPandas()
+    assert set(out["doc_id"]) == {10}
+    row = out.set_index("doc_id").loc[10]
+    # shared 3-grams: "the quick brown","quick brown fox","brown fox jumps"
+    assert row["n_contaminated_grams"] == 3 and row["n_bench_docs"] == 1
