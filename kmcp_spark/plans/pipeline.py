@@ -30,8 +30,8 @@ from kmcp_spark.operators.lsh import band_buckets, bucket_stats, candidate_pairs
 from kmcp_spark.operators.sketch import sketch_clips
 from kmcp_spark.operators.verify import score_pairs, verify_pairs
 from kmcp_spark.sources.tables import (
-    checkpoint_rows,
     checkpoint_valid,
+    partition_lineage,
     read_checkpoint,
     write_checkpoint,
 )
@@ -90,8 +90,25 @@ class DedupPipeline:
         write_checkpoint(df, path, self.fp, partition_by)
         out = read_checkpoint(self.spark, path)
         # rows_out from parquet footers: a count() here was one whole
-        # extra Spark job per stage (5 jobs/run of pure fixed latency)
-        n = checkpoint_rows(path)
+        # extra Spark job per stage (5 jobs/run of pure fixed latency).
+        # The same footer walk yields the per-partition lineage records
+        # (north rule: checkpoints carry per-partition lineage + metrics).
+        files = partition_lineage(path)
+        n = sum(e["rows"] for e in files)
+        with open(os.path.join(self.out_dir, "lineage.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "stage": name,
+                        "fingerprint": self.fp,
+                        "n_files": len(files),
+                        "rows_out": n,
+                        "files": files,
+                        "ts": time.time(),
+                    }
+                )
+                + "\n"
+            )
         self.metrics.append(StageMetric(name, n, int((time.time() - t0) * 1000), False))
         return out
 

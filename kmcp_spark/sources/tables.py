@@ -90,6 +90,36 @@ def read_checkpoint(spark: SparkSession, path: str, fmt: str | None = None) -> D
     return spark.read.parquet(path)
 
 
+def partition_lineage(path: str) -> list[dict]:
+    """Per-partition lineage for a checkpoint: one record per parquet
+    file (relative path, row count, bytes) read from footer metadata —
+    driver-side, no Spark job.
+
+    This is the per-partition half of the north rule's "per-partition
+    lineage + metrics" checkpoint contract (the stage-level half is
+    metrics.jsonl): it records exactly which files a stage produced and
+    how many rows each holds, so a resumed or audited run can verify a
+    checkpoint file-by-file — the analog of kmcp's per-file `_info.txt`
+    sidecars (`kmcp/cmd/compute.go:450-458`).  On Iceberg deployments
+    the table's own manifest/snapshot metadata supersedes this.
+    """
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for name in sorted(files):
+            if name.endswith(".parquet"):
+                full = os.path.join(root, name)
+                entries.append(
+                    {
+                        "file": os.path.relpath(full, path),
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+    return entries
+
+
 def checkpoint_rows(path: str) -> int:
     """Exact row count from parquet footers (driver-side, no Spark job).
 
