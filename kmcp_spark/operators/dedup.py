@@ -120,10 +120,23 @@ def _gram_tables(docs: DataFrame, n: int, max_gram_docs: int):
     common subplans, so without this the (doc_id, gram) explosion is
     recomputed for every consumer — observed 6 full scans of the input
     in one query plan.  MEMORY_AND_DISK persist keeps it to one scan;
-    Spark's LRU eviction reclaims it."""
+    Spark's LRU eviction reclaims it.
+
+    Grams are reduced to ``xxhash64`` int64 keys before the shuffle: the
+    self-join and frequency groupBy only COUNT matches, so the gram text
+    itself is dead weight — an int64 key cuts the shuffled/cached bytes
+    ~2.5x vs the avg ~20-byte gram string at n=3.  Downstream output
+    (pairs + jaccard/containment) is unchanged, so the DuckDB oracle
+    (which joins on gram TEXT) still matches; a 64-bit collision would
+    need ~2^32 distinct grams in one corpus to appear at even 50% odds
+    for a single colliding pair."""
     from pyspark import StorageLevel
 
-    g = word_ngrams_df(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    g = (
+        word_ngrams_df(docs, n)
+        .select("doc_id", F.xxhash64("gram").alias("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     gram_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
     g_ok = g.join(
@@ -561,11 +574,15 @@ def benchmark_contamination(
     excluded from the output.
     """
     bench_ids = bench.select("doc_id")
+    # int64 gram keys on both sides (same collision/oracle argument as
+    # _gram_tables): shrinks the broadcast table and the probe column
     bg = (
         word_ngrams_df(bench, n)
-        .select(F.col("doc_id").alias("bench_id"), "gram")
+        .select(F.col("doc_id").alias("bench_id"), F.xxhash64("gram").alias("gram"))
     )
-    dg = word_ngrams_df(docs.join(bench_ids, "doc_id", "left_anti"), n)
+    dg = word_ngrams_df(docs.join(bench_ids, "doc_id", "left_anti"), n).select(
+        "doc_id", F.xxhash64("gram").alias("gram")
+    )
     hits = dg.join(F.broadcast(bg), "gram")
     return (
         hits.groupBy("doc_id")
