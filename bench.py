@@ -220,7 +220,9 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips) -> dict:
+def _scaling_summary(
+    walls, stage_ms, probes, cores_lo, cores_hi, n_clips, stage_rounds=None
+) -> dict:
     t_lo, t_hi = _median(walls[cores_lo]), _median(walls[cores_hi])
     eff = (t_lo / t_hi) / (cores_hi / cores_lo)
     # min-of-legs pairs each core count's BEST window; because legs
@@ -260,6 +262,8 @@ def _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips) -> di
         "scaling_efficiency_best_round": round(best_round, 3),
         "stage_ms_n": stage_ms.get(cores_lo, {}),
         "stage_ms_4n": stage_ms.get(cores_hi, {}),
+        "stage_ms_rounds_n": (stage_rounds or {}).get(cores_lo, []),
+        "stage_ms_rounds_4n": (stage_rounds or {}).get(cores_hi, []),
     }
 
 
@@ -285,7 +289,11 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
     from kmcp_spark.config import get_spark
     from kmcp_spark.corpus import generate_clips
 
-    corpus_path = os.path.join(REPO, "_bench_corpus")
+    # size-suffixed path: two concurrent bench runs with different
+    # corpus sizes must never clobber each other's input mid-leg
+    # (observed: a watcher-launched 16k run regenerating the corpus
+    # while a 600-clip smoke leg was scanning it -> FileNotFound)
+    corpus_path = os.path.join(REPO, f"_bench_corpus_{n_clips}")
     marker = os.path.join(corpus_path, "_N.json")
     need = True
     if os.path.exists(marker):
@@ -319,6 +327,7 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
     cores_lo = max(cores_hi // 4, 1)
     walls: dict[int, list[float]] = {cores_lo: [], cores_hi: []}
     stage_ms: dict[int, dict] = {}
+    stage_rounds: dict[int, list[dict]] = {}
     probes: list[dict] = []
     round_walls: list[float] = []
     r = 0
@@ -336,11 +345,15 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
             payload = _one_leg(cores, corpus_path)
             walls[cores].append(payload["wall_sec"])
             stage_ms[cores] = payload["stage_ms"]
+            # per-round stage walls, both legs: the per-stage 1->4
+            # ratios are the attribution evidence (which stage eats the
+            # efficiency), and only same-round pairs are comparable
+            stage_rounds.setdefault(cores, []).append(payload["stage_ms"])
             log(f"  round {r} local[{cores}]: {payload['wall_sec']:.1f}s "
                 f"({n_clips / payload['wall_sec']:.1f} clips/s, probe {probes[-1]})")
         round_walls.append(time.time() - rt0)
         r += 1
-        summary = _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips)
+        summary = _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips, stage_rounds)
         if base_result is not None:  # rewrite the artifact after EVERY round
             partial = dict(base_result)
             partial.update(summary)
@@ -352,7 +365,7 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
             rounds += 1
     if not walls[cores_lo] or not walls[cores_hi]:
         raise RuntimeError("no complete scaling round inside the deadline")
-    return _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips)
+    return _scaling_summary(walls, stage_ms, probes, cores_lo, cores_hi, n_clips, stage_rounds)
 
 
 def main() -> None:

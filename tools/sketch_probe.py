@@ -2,7 +2,7 @@
 Arrow JVM->python transfer vs python kernel, at a given core count.
 
 Usage: python tools/sketch_probe.py CORES N_FILES
-Reads the first N_FILES part files of _bench_corpus (500 rows each).
+Reads the first N_FILES part files of _bench_corpus_16000 (500 rows each).
 Prints one JSON line: {"cores": c, "rows": n, "scan_s": ..,
 "arrow_s": .., "kernel_s": ..}.
 
@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 def main():
     cores = int(sys.argv[1])
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    files = sorted(glob.glob(os.path.join(REPO, "_bench_corpus", "part-*.parquet")))[:n_files]
+    files = sorted(glob.glob(os.path.join(REPO, "_bench_corpus_16000", "part-*.parquet")))[:n_files]
     # warm page cache so the scan term is bus/decompress, not disk
     for p in files:
         with open(p, "rb") as f:
