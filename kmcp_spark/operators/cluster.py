@@ -95,9 +95,12 @@ def connected_components(
             "clip_id string, cluster_id string",
         )
         if all_nodes is not None:
+            # labels is bounded by construction (<= 2*driver_max_edges
+            # nodes ~ 20 MB): broadcast it so the singleton fill-in is a
+            # map-side join — no shuffle of all_nodes
             labels = (
                 all_nodes.select("clip_id")
-                .join(labels, "clip_id", "left")
+                .join(F.broadcast(labels), "clip_id", "left")
                 .select(
                     "clip_id",
                     F.coalesce("cluster_id", F.col("clip_id")).alias("cluster_id"),
