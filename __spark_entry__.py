@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda sp, sf: S.ivf_topk(
             _t(sp, sf, "embeddings"), n_queries=10, k=5, n_cells=16, n_probe=4
         ),
+        "dedup_semantic": lambda sp, sf: S.semantic_dup_pairs(
+            _t(sp, sf, "embeddings"), n_cells=16, threshold=0.35
+        ),
         # --- relational analogs of SURVEY.md §2 (lineitem/orders/...) ---
         "topn_per_group": lambda sp, sf: R.topn_per_group(_t(sp, sf, "lineitem"), 3),
         "best_gap_filter": lambda sp, sf: R.best_gap_filter(_t(sp, sf, "lineitem"), 0.1),
@@ -603,6 +606,40 @@ def _ann_ivf_sql(
     """
 
 
+def _semantic_dedup_sql(n_cells: int = 16, threshold: float = 0.35) -> str:
+    """SQL mirror of semantic_dup_pairs: the same medoid seeds and
+    quantized-L2 assignment as _ann_ivf_sql, then exact intra-cell
+    quantized-cosine pairs — DuckDB reproduces every cell decision and
+    every pair bit-identically."""
+    d2 = (
+        "(list_dot_product({x}, {x}) - 2 * list_dot_product({x}, {c})"
+        " + list_dot_product({c}, {c}))"
+    )
+    return f"""
+        WITH qz AS (
+          SELECT vec_id, embedding,
+                 [round(CAST(u AS DOUBLE) * 1000000.0) for u in embedding] AS qv
+          FROM embeddings
+        ), seeds AS (
+          SELECT vec_id AS cell_id, qv AS cv FROM qz ORDER BY vec_id LIMIT {n_cells}
+        ), asg AS (
+          SELECT vec_id, embedding, cell_id FROM (
+            SELECT z.vec_id, z.embedding, s.cell_id,
+                   row_number() OVER (
+                     PARTITION BY z.vec_id
+                     ORDER BY {d2.format(x="z.qv", c="s.cv")} ASC, s.cell_id ASC
+                   ) AS rn
+            FROM qz z CROSS JOIN seeds s
+          ) WHERE rn = 1
+        )
+        SELECT l.cell_id, l.vec_id AS a, r.vec_id AS b,
+               round({_qcos('l.embedding', 'r.embedding')}, 6) AS cosine
+        FROM asg l JOIN asg r USING (cell_id)
+        WHERE l.vec_id < r.vec_id
+          AND round({_qcos('l.embedding', 'r.embedding')}, 6) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_simhash": f"""
@@ -636,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "dedup_semantic": _semantic_dedup_sql(),
         "dedup_multi_k": _multi_k_sql(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_docs,

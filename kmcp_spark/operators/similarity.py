@@ -436,3 +436,109 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    round_digits: int = 6,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into ``n_cells``
+    clusters, then find near-duplicate pairs ONLY within each cluster —
+    the standard way to cut the all-pairs O(n^2) of ``cosine_dup_pairs``
+    down to sum-of-squares-of-cell-sizes at corpus scale.
+
+    Medoid seeding and assignment are shared with :func:`ivf_topk`
+    (first ``n_cells`` vectors by ``vec_id``; exact quantized integer L2
+    argmin, ties -> smaller cell id), so a SQL oracle reproduces every
+    cell decision bit-identically.  Within a cell, rows are hashed into
+    ``n_blocks`` sub-blocks and every block pair becomes one
+    ``applyInPandas`` int64 GEMM group (the same skew-safe decomposition
+    as ``cosine_dup_pairs``) — a degenerate giant cell therefore splits
+    into bounded tasks instead of one straggler.
+
+    Returns (cell_id, a, b, cosine) with a < b and cosine >= threshold
+    after rounding.  Pairs split across cells are missed by design —
+    that recall/cost tradeoff is the algorithm's point; the recall
+    against brute force is measured in tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    head = (
+        emb.orderBy("vec_id").limit(n_cells).select("vec_id", "embedding").collect()
+    )
+    cell_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    C = _quantize_np(np.array([r["embedding"] for r in head], dtype=np.float64))
+    cn2 = (C.astype(np.float64) ** 2).sum(axis=1).astype(np.int64)  # exact < 2^53
+    emb_t = emb.schema["embedding"].dataType.simpleString()
+
+    def assign(batches):
+        # identical kernel to ivf_topk's assignment: ONE int64 GEMM per
+        # Arrow batch; |x|^2 is constant per row so it drops out of argmin
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
+            part = -2 * (X @ C.T) + cn2[None, :]
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cell_id"] = cell_ids[np.argmin(part, axis=1)]
+            yield out
+
+    asg = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema=f"vec_id bigint, embedding {emb_t}, cell_id bigint"
+    )
+
+    B = n_blocks
+    mem = [(b, b, j, 0) for b in range(B) for j in range(b, B)] + [
+        (b, i, b, 1) for b in range(B) for i in range(b)
+    ]
+    memdf = spark.createDataFrame(mem, "block int, gi int, gj int, side int")
+    tagged = asg.withColumn(
+        "block", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    ).join(F.broadcast(memdf), "block")
+
+    def gemm(key, pdf):
+        cell, gi, gj = int(key[0]), int(key[1]), int(key[2])
+        empty = pd.DataFrame(
+            {"cell_id": [], "a": [], "b": [], "cosine": []}
+        ).astype(
+            {"cell_id": np.int64, "a": np.int64, "b": np.int64, "cosine": np.float64}
+        )
+        left = pdf[pdf["side"] == 0]
+        if not len(left):
+            return empty
+        ids_a = left["vec_id"].to_numpy()
+        A = _quantize_np(np.stack(left["embedding"].to_numpy()))
+        na = (A.astype(np.float64) ** 2).sum(axis=1)
+        if gi == gj:
+            ids_b, Bm, nb = ids_a, A, na
+        else:
+            right = pdf[pdf["side"] == 1]
+            if not len(right):
+                return empty
+            ids_b = right["vec_id"].to_numpy()
+            Bm = _quantize_np(np.stack(right["embedding"].to_numpy()))
+            nb = (Bm.astype(np.float64) ** 2).sum(axis=1)
+        dot = A @ Bm.T  # int64 exact
+        cos = _round_half_away(dot / np.sqrt(np.outer(na, nb)), round_digits)
+        hit = cos >= threshold
+        if gi == gj:
+            hit &= ids_a[:, None] < ids_b[None, :]
+        ai, bi = np.nonzero(hit)
+        return pd.DataFrame(
+            {
+                "cell_id": np.full(len(ai), cell, dtype=np.int64),
+                "a": np.minimum(ids_a[ai], ids_b[bi]),
+                "b": np.maximum(ids_a[ai], ids_b[bi]),
+                "cosine": cos[ai, bi],
+            }
+        )
+
+    return tagged.groupBy("cell_id", "gi", "gj").applyInPandas(
+        gemm, schema="cell_id bigint, a bigint, b bigint, cosine double"
+    )

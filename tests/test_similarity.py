@@ -136,3 +136,50 @@ def test_ann_lsh_candidates_are_pruned(spark):
         total_cand += (counts * (counts - 1) // 2).sum()
     assert total_cand < 300 * 299 // 2 * 0.5  # well under half of all-pairs
     assert df.count() <= 50
+
+
+def test_semantic_dedup_subset_and_recall(spark):
+    """semantic_dup_pairs (SemDeDup) must emit a SUBSET of the
+    brute-force pairs (same quantized cosine, intra-cell only), with
+    usable recall on clustered data, and every emitted pair exactly
+    once (the sub-block decomposition must not duplicate)."""
+    from kmcp_spark.operators.similarity import semantic_dup_pairs
+
+    emb = _emb(spark, n=300)
+    thr = 0.9
+    brute = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in cosine_dup_pairs(emb, threshold=thr).collect()
+    }
+    sem = semantic_dup_pairs(emb, n_cells=12, threshold=thr).collect()
+    keys = [(r["a"], r["b"]) for r in sem]
+    assert len(keys) == len(set(keys)), "pair emitted by more than one block group"
+    for r in sem:
+        assert (r["a"], r["b"]) in brute
+        assert abs(brute[(r["a"], r["b"])] - r["cosine"]) < 1e-12
+    assert len(brute) > 50
+    recall = len(keys) / len(brute)
+    # planted clusters are tight; medoid cells keep most of them together
+    assert recall >= 0.6, f"semantic dedup recall {recall}"
+
+
+def test_semantic_dedup_giant_cell_splits_into_blocks(spark):
+    """A degenerate corpus where every vector lands in one cell must
+    still produce correct pairs via the intra-cell block decomposition."""
+    from kmcp_spark.operators.similarity import semantic_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(120):
+        v = base + 0.01 * rng.standard_normal(16)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = semantic_dup_pairs(emb, n_cells=1, threshold=0.99, n_blocks=3).collect()
+    cells = {r["cell_id"] for r in got}
+    assert cells == {0}
+    want = {(r["a"], r["b"]) for r in cosine_dup_pairs(emb, threshold=0.99).collect()}
+    assert {(r["a"], r["b"]) for r in got} == want
+    assert len(want) > 1000  # near-identical vectors: most pairs qualify
