@@ -164,18 +164,19 @@ class DedupPipeline:
         )
 
         # buckets is a VIRTUAL stage: a narrow JVM map (slice + xxhash64)
-        # derived 1:1 from the sketches checkpoint, so persisting it
-        # in-memory beats a parquet round-trip (r1 paid a write + read +
-        # count per run for a relation that is never a useful resume
-        # point — it rebuilds in milliseconds from sketches).  No
-        # partitionBy("band_id") for the same reason as before: a
-        # partitioned write multiplies file count by the band fan-out
-        # (observed 12x slowdown at local[32]).
-        from pyspark import StorageLevel
-
-        buckets = band_buckets(sketches, cfg.lsh.bands, cfg.lsh.rows_per_band).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # derived 1:1 from the sketches checkpoint.  It is deliberately
+        # NOT persisted and NOT written: r1 paid a parquet round-trip,
+        # r2 paid a MEMORY_AND_DISK materialization (measured 4 s of the
+        # candidates stage at local[4]/32k — serializing the bands-fold
+        # 1M-row relation), and at 10^12 input rows a cached 32x-exploded
+        # band relation cannot fit ANY cluster's memory.  Each consumer
+        # (size agg, pair join, escalation, diagnostics) instead re-runs
+        # the narrow map over the column-pruned sketches scan
+        # (ReadSchema struct<clip_id,minhash>) — cheap, parallel, and
+        # the only shape that survives at scale.  No partitionBy
+        # ("band_id") either: a partitioned write multiplies file count
+        # by the band fan-out (observed 12x slowdown at local[32]).
+        buckets = band_buckets(sketches, cfg.lsh.bands, cfg.lsh.rows_per_band)
 
         def build_pairs():
             pairs, oversized = candidate_pairs(buckets, cfg.lsh.max_bucket)
@@ -224,11 +225,8 @@ class DedupPipeline:
             # bucket-size histogram = `utils index-density` analog
             self._stage("bucket_histogram", lambda: bucket_stats(buckets), force=force)
 
-        # the virtual band relation was consumed by the candidates stage
-        # (and diagnostics); release it, then sweep any remaining blocks
-        # created during this run (e.g. the CC loop's final label
-        # snapshot — superseded by the clusters parquet checkpoint)
-        buckets.unpersist()
+        # sweep any blocks persisted during this run (e.g. the CC loop's
+        # final label snapshot — superseded by the clusters checkpoint)
         unpersist_ids(
             self.spark.sparkContext,
             persistent_ids(self.spark.sparkContext) - ids_at_entry,
