@@ -402,7 +402,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("utils-cov2simi", help="qCov -> similarity%% cubic (no Spark)")
     sp.add_argument("--qcov", type=float, required=True)
     sp.set_defaults(fn=cmd_utils_cov2simi)
+
+    sp = sub.add_parser("version", help="print version info (kmcp version analog)")
+    sp.set_defaults(fn=cmd_version)
     return p
+
+
+def cmd_version(args) -> dict:
+    """`kmcp version` analog (`kmcp/cmd/version.go`) — no Spark session."""
+    import pyspark
+
+    from kmcp_spark import __version__
+
+    return {"cmd": "version", "kmcp_spark": __version__, "pyspark": pyspark.__version__}
 
 
 def main(argv: list[str] | None = None) -> dict:

@@ -159,3 +159,12 @@ def test_cli_filter(spark, tmp_out):
     out = spark.read.parquet(filt).toPandas()
     assert (out["containment"] >= 0.55).all()
     assert out.groupby("query_id").size().max() <= 3
+
+
+def test_cli_version_no_spark():
+    """`version` (kmcp/cmd/version.go analog) must answer without a
+    Spark session."""
+    from kmcp_spark.cli import main
+
+    out = main(["version"])
+    assert out["cmd"] == "version" and out["kmcp_spark"] and out["pyspark"]
