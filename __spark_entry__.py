@@ -348,13 +348,6 @@ def _clips_chunked_matches(spark: SparkSession, sf: str) -> DataFrame:
     result equals the all-pairs chunk scan DuckDB runs over the staged
     chunk-sketch table — candidate generation, exact scoring, and the
     per-pair roll-up (incl. matched_chunk_frac) are all value-checked."""
-    from kmcp_spark.config import PipelineConfig
-    from kmcp_spark.operators.chunking import (
-        aggregate_chunk_matches,
-        chunk_candidate_pairs,
-        sketch_clips_chunked,
-    )
-
     from kmcp_spark.operators.chunking import aggregate_chunk_matches
 
     sk2, pairs = _clips_chunked(spark)
@@ -977,8 +970,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             stats AS (
               SELECT d.clip_id,
+                     -- HUGEINT keeps the squared-term aggregation exact
+                     -- (bigint d*d overflows on realistic dense clusters,
+                     -- mirroring the Spark side's decimal(38,0) fix); only
+                     -- the final ratio drops to double, same as Spark
                      sqrt(greatest(
-                       SUM(d.d * d.d) / (SUM(d.d) * SUM(d.d)) * any_value(n.n_chunks)
+                       CAST(SUM(CAST(d.d AS HUGEINT) * d.d) AS DOUBLE)
+                       / (CAST(SUM(d.d) AS DOUBLE) * CAST(SUM(d.d) AS DOUBLE))
+                       * any_value(n.n_chunks)
                        - 1.0, 0.0)) AS rel_depth_std,
                      any_value(n.n_chunks) AS n_chunks
               FROM depth d JOIN nck n USING (clip_id)

@@ -202,6 +202,12 @@ def _host_probe(procs: int = 8) -> dict:
 
 def _one_leg(cores: int, corpus_path: str) -> dict:
     out_dir = os.path.join(REPO, f"_bench_pipe_{cores}")
+    if _remaining() <= 60:
+        # deadline already spent: the 120 s floor below would otherwise
+        # launch up to two more legs past the budget and get the harness
+        # SIGTERM'd mid-leg — stop here and let the caller emit the
+        # best-so-far artifact instead
+        raise RuntimeError("bench deadline exhausted before leg start")
     leg_timeout = max(120, min(3000, int(_remaining())))
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--pipeline-run", str(cores), corpus_path, out_dir],

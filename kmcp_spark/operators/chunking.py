@@ -306,16 +306,27 @@ def depth_dispersion_gate(
         .agg(F.sum("w").alias("d"))
     )
     nck = chunk_sketches.select("clip_id", "n_chunks").distinct()
+    # the squared terms leave int64: d can reach ~3e9 on a realistic
+    # dense cluster (n_chunks x members x 1e6), so d*d (and total^2)
+    # would overflow bigint — a hard ARITHMETIC_OVERFLOW under Spark's
+    # default ANSI mode.  decimal(38,0) keeps the aggregation EXACT
+    # (d^2 < 2^126 ~ 8.5e37 fits; the sum would need ~1e13 chunks to
+    # overflow), and only the final ratio drops to double — one
+    # correctly-rounded division of exact integers, deterministic in
+    # any engine (the DuckDB oracle mirrors with HUGEINT)
+    dd = F.col("d").cast("decimal(38,0)")
     stats = (
         depth.groupBy("clip_id")
-        .agg(F.sum("d").alias("_total"), F.sum(F.col("d") * F.col("d")).alias("_sumsq"))
+        .agg(F.sum(dd).alias("_total"), F.sum(dd * F.col("d")).alias("_sumsq"))
         .join(nck, "clip_id")
         .select(
             "clip_id",
             # rel_i = d_i/total*n; pop var = sum(rel_i^2)/n - 1
             F.sqrt(
                 F.greatest(
-                    F.col("_sumsq") / (F.col("_total") * F.col("_total")) * F.col("n_chunks")
+                    F.col("_sumsq").cast("double")
+                    / (F.col("_total").cast("double") * F.col("_total").cast("double"))
+                    * F.col("n_chunks")
                     - F.lit(1.0),
                     F.lit(0.0),
                 )

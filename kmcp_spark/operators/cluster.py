@@ -163,6 +163,11 @@ def connected_components(
         if n_changed == 0:
             break
     else:
+        # release the edge relation and the last label snapshot BEFORE
+        # raising: a caller that catches this and retries with higher
+        # max_iters (the message's own advice) must not accumulate a
+        # full cached edge set + label snapshot per failed attempt
+        unpersist_ids(sc, edge_ids | prev_round_ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds; "
             "clusters would be silently split — raise max_iters"

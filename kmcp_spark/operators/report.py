@@ -80,11 +80,23 @@ def binning_export(clusters: DataFrame, verified: DataFrame) -> DataFrame:
     canon = members.filter(F.col("is_canonical")).select(
         "cluster_id", F.col("clip_id").alias("canonical_clip")
     )
-    # undirected incident edges per member
-    edges = verified.select(
+    # undirected incident edges per member, restricted to edges whose
+    # BOTH endpoints share the member's cluster: a strong verified edge
+    # to another cluster (e.g. one dropped by weak-edge pruning before
+    # CC) must not inflate the member's support for its own cluster —
+    # the reference's binning statistic is per assigned target
+    labels = clusters.select("clip_id", "cluster_id")
+    la = labels.withColumnRenamed("clip_id", "a").withColumnRenamed("cluster_id", "_ca")
+    lb = labels.withColumnRenamed("clip_id", "b").withColumnRenamed("cluster_id", "_cb")
+    intra = (
+        verified.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("_ca") == F.col("_cb"))
+    )
+    edges = intra.select(
         F.col("a").alias("clip_id"), F.col("similarity_pct").alias("_s")
     ).unionByName(
-        verified.select(F.col("b").alias("clip_id"), F.col("similarity_pct").alias("_s"))
+        intra.select(F.col("b").alias("clip_id"), F.col("similarity_pct").alias("_s"))
     )
     support = edges.groupBy("clip_id").agg(F.max("_s").alias("member_score"))
     return (

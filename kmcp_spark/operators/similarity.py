@@ -128,57 +128,108 @@ def cosine_dup_pairs(
     spark = emb.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     B = n_blocks or max(int(np.ceil(np.sqrt(2 * nparts))), 2)
-
-    # block-pair membership: block b serves as the LEFT side of groups
-    # (b, j>=b) and the RIGHT side of groups (i<b, b); the diagonal group
-    # holds its block once (side 0) and pairs internally
-    mem = [(b, b, j, 0) for b in range(B) for j in range(b, B)] + [
-        (b, i, b, 1) for b in range(B) for i in range(b)
-    ]
-    memdf = spark.createDataFrame(mem, "block int, gi int, gj int, side int")
-    tagged = emb.select(
-        "vec_id",
-        "embedding",
-        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("block"),
-    ).join(F.broadcast(memdf), "block")
+    tagged = _block_pair_tagged(emb, B)
 
     def gemm(key, pdf):
-        gi, gj = int(key[0]), int(key[1])
-        empty = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-            {"a": np.int64, "b": np.int64, "cosine": np.float64}
-        )
-        left = pdf[pdf["side"] == 0]
-        if not len(left):
-            return empty
-        ids_a = left["vec_id"].to_numpy()
-        A = _quantize_np(np.stack(left["embedding"].to_numpy()))
-        na = (A.astype(np.float64) ** 2).sum(axis=1)  # exact: < 2^53
-        if gi == gj:
-            ids_b, Bm, nb = ids_a, A, na
-        else:
-            right = pdf[pdf["side"] == 1]
-            if not len(right):
-                return empty
-            ids_b = right["vec_id"].to_numpy()
-            Bm = _quantize_np(np.stack(right["embedding"].to_numpy()))
-            nb = (Bm.astype(np.float64) ** 2).sum(axis=1)
-        dot = A @ Bm.T  # int64 exact
-        cos = _round_half_away(dot / np.sqrt(np.outer(na, nb)), round_digits)
-        hit = cos >= threshold
-        if gi == gj:
-            hit &= ids_a[:, None] < ids_b[None, :]
-        ai, bi = np.nonzero(hit)
-        return pd.DataFrame(
-            {
-                "a": np.minimum(ids_a[ai], ids_b[bi]),
-                "b": np.maximum(ids_a[ai], ids_b[bi]),
-                "cosine": cos[ai, bi],
-            }
-        )
+        hits = _block_pair_hits(pdf, int(key[0]), int(key[1]), threshold, round_digits)
+        if hits is None:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": np.int64, "b": np.int64, "cosine": np.float64}
+            )
+        a, b, cos = hits
+        return pd.DataFrame({"a": a, "b": b, "cosine": cos})
 
     return tagged.groupBy("gi", "gj").applyInPandas(
         gemm, schema="a bigint, b bigint, cosine double"
     )
+
+
+def _block_pair_tagged(emb: DataFrame, B: int) -> DataFrame:
+    """Tag rows for the block-pair decomposition: block b serves as the
+    LEFT side of groups (b, j>=b) and the RIGHT side of groups (i<b, b);
+    the diagonal group holds its block once (side 0) and pairs
+    internally.  Shared by ``cosine_dup_pairs`` (global all-pairs) and
+    ``semantic_dup_pairs`` (per-cell all-pairs)."""
+    spark = emb.sparkSession
+    mem = [(b, b, j, 0) for b in range(B) for j in range(b, B)] + [
+        (b, i, b, 1) for b in range(B) for i in range(b)
+    ]
+    memdf = spark.createDataFrame(mem, "block int, gi int, gj int, side int")
+    return emb.withColumn(
+        "block", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    ).join(F.broadcast(memdf), "block")
+
+
+def _block_pair_hits(pdf, gi: int, gj: int, threshold: float, round_digits: int):
+    """The shared block-pair GEMM kernel: exact int64 ``A @ B.T`` over
+    the quantized embeddings of one (gi, gj) group, thresholded after
+    deterministic rounding.  Returns (a, b, cosine) numpy arrays with
+    a < b, or None when a side is empty.  Every caller MUST use this
+    one implementation — the oracle-parity guarantees (tie-breaks,
+    rounding, overflow bounds) live here."""
+    import numpy as np
+
+    left = pdf[pdf["side"] == 0]
+    if not len(left):
+        return None
+    ids_a = left["vec_id"].to_numpy()
+    A = _quantize_np(np.stack(left["embedding"].to_numpy()))
+    na = (A.astype(np.float64) ** 2).sum(axis=1)  # exact: < 2^53
+    if gi == gj:
+        ids_b, Bm, nb = ids_a, A, na
+    else:
+        right = pdf[pdf["side"] == 1]
+        if not len(right):
+            return None
+        ids_b = right["vec_id"].to_numpy()
+        Bm = _quantize_np(np.stack(right["embedding"].to_numpy()))
+        nb = (Bm.astype(np.float64) ** 2).sum(axis=1)
+    dot = A @ Bm.T  # int64 exact
+    cos = _round_half_away(dot / np.sqrt(np.outer(na, nb)), round_digits)
+    hit = cos >= threshold
+    if gi == gj:
+        hit &= ids_a[:, None] < ids_b[None, :]
+    ai, bi = np.nonzero(hit)
+    return (
+        np.minimum(ids_a[ai], ids_b[bi]),
+        np.maximum(ids_a[ai], ids_b[bi]),
+        cos[ai, bi],
+    )
+
+
+def _medoid_seeds(emb: DataFrame, n: int):
+    """First ``n`` vectors by ``vec_id``, quantized — the shared medoid
+    seeding of ``ivf_topk`` and ``semantic_dup_pairs`` (a deterministic
+    pseudo-random sample a SQL oracle reproduces with ORDER BY vec_id
+    LIMIT n).  Returns (ids, quantized matrix, exact squared norms)."""
+    import numpy as np
+
+    head = emb.orderBy("vec_id").limit(n).select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    Q = _quantize_np(np.array([r["embedding"] for r in head], dtype=np.float64))
+    n2 = (Q.astype(np.float64) ** 2).sum(axis=1).astype(np.int64)  # exact < 2^53
+    return ids, Q, n2
+
+
+def _cell_assigner(C, cell_ids, cn2):
+    """mapInPandas kernel factory: nearest-seed cell assignment via ONE
+    int64 GEMM per Arrow batch.  argmin over d2 = |x|^2 - 2<x,c> + |c|^2;
+    |x|^2 is constant per row so it drops out.  Exact ties -> smaller
+    cell_id (argmin returns the first minimum and C is ordered by
+    cell_id).  Shared by ``ivf_topk`` and ``semantic_dup_pairs``."""
+    import numpy as np
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
+            part = -2 * (X @ C.T) + cn2[None, :]
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cell_id"] = cell_ids[np.argmin(part, axis=1)]
+            yield out
+
+    return assign
 
 
 def _quantize_np(x):
@@ -242,18 +293,9 @@ def ivf_topk(
     # The r2 version evaluated _qdist2/quantized_cosine as interpreted
     # higher-order lambdas per (row x cell/candidate) — wscg=0, 16 s at
     # sf0.1; this GEMM form does the identical integer math in numpy.
-    head = (
-        emb.orderBy("vec_id")
-        .limit(max(n_cells, n_queries))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    head_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
-    head_q = _quantize_np(np.array([r["embedding"] for r in head], dtype=np.float64))
-    C, cell_ids = head_q[:n_cells], head_ids[:n_cells]  # sorted by vec_id
-    cn2 = (C.astype(np.float64) ** 2).sum(axis=1).astype(np.int64)  # exact < 2^53
-    Qm, query_ids = head_q[:n_queries], head_ids[:n_queries]
-    qn2 = (Qm.astype(np.float64) ** 2).sum(axis=1).astype(np.int64)
+    head_ids, head_q, head_n2 = _medoid_seeds(emb, max(n_cells, n_queries))
+    C, cell_ids, cn2 = head_q[:n_cells], head_ids[:n_cells], head_n2[:n_cells]
+    Qm, query_ids, qn2 = head_q[:n_queries], head_ids[:n_queries], head_n2[:n_queries]
 
     # probe selection (n_queries x n_cells) is driver-side numpy: exact
     # integer L2, ties -> smaller cell_id (= smaller index, argsort stable)
@@ -268,23 +310,9 @@ def ivf_topk(
     emb_t = emb.schema["embedding"].dataType.simpleString()
     qpos = {int(v): i for i, v in enumerate(query_ids)}
 
-    def assign(batches):
-        """cell assignment: ONE int64 GEMM per Arrow batch (exact ties ->
-        smaller cell_id because argmin returns the first minimum and C is
-        ordered by cell_id)."""
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
-            # argmin over d2 = |x|^2 - 2<x,c> + |c|^2; |x|^2 is constant
-            # per row, so argmin(-2<x,c> + |c|^2) suffices (exact ints)
-            part = -2 * (X @ C.T) + cn2[None, :]
-            out = pdf[["vec_id", "embedding"]].copy()
-            out["cell_id"] = cell_ids[np.argmin(part, axis=1)]
-            yield out
-
     asg = emb.select("vec_id", "embedding").mapInPandas(
-        assign, schema=f"vec_id bigint, embedding {emb_t}, cell_id bigint"
+        _cell_assigner(C, cell_ids, cn2),
+        schema=f"vec_id bigint, embedding {emb_t}, cell_id bigint",
     )
 
     def score(batches):
@@ -297,8 +325,11 @@ def ivf_topk(
             X = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
             xn2 = (X.astype(np.float64) ** 2).sum(axis=1)
             qi = np.array([qpos[int(v)] for v in pdf["query_id"]], dtype=np.int64)
-            rows = np.arange(len(pdf))
-            dot = (X @ Qm.T)[rows, qi].astype(np.float64)  # exact < 2^53
+            # each row needs only the dot with ITS query: the row-wise
+            # einsum does 1/n_queries the multiplies of the full X @ Qm.T
+            # (whose off-diagonal columns were discarded) with the same
+            # exact int64 row-dot
+            dot = np.einsum("ij,ij->i", X, Qm[qi]).astype(np.float64)
             cos = _round_half_away(
                 dot / np.sqrt(qn2[qi].astype(np.float64) * xn2), round_digits
             )
@@ -468,74 +499,30 @@ def semantic_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    head = (
-        emb.orderBy("vec_id").limit(n_cells).select("vec_id", "embedding").collect()
-    )
-    cell_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
-    C = _quantize_np(np.array([r["embedding"] for r in head], dtype=np.float64))
-    cn2 = (C.astype(np.float64) ** 2).sum(axis=1).astype(np.int64)  # exact < 2^53
+    cell_ids, C, cn2 = _medoid_seeds(emb, n_cells)
     emb_t = emb.schema["embedding"].dataType.simpleString()
-
-    def assign(batches):
-        # identical kernel to ivf_topk's assignment: ONE int64 GEMM per
-        # Arrow batch; |x|^2 is constant per row so it drops out of argmin
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
-            part = -2 * (X @ C.T) + cn2[None, :]
-            out = pdf[["vec_id", "embedding"]].copy()
-            out["cell_id"] = cell_ids[np.argmin(part, axis=1)]
-            yield out
-
     asg = emb.select("vec_id", "embedding").mapInPandas(
-        assign, schema=f"vec_id bigint, embedding {emb_t}, cell_id bigint"
+        _cell_assigner(C, cell_ids, cn2),
+        schema=f"vec_id bigint, embedding {emb_t}, cell_id bigint",
     )
-
-    B = n_blocks
-    mem = [(b, b, j, 0) for b in range(B) for j in range(b, B)] + [
-        (b, i, b, 1) for b in range(B) for i in range(b)
-    ]
-    memdf = spark.createDataFrame(mem, "block int, gi int, gj int, side int")
-    tagged = asg.withColumn(
-        "block", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
-    ).join(F.broadcast(memdf), "block")
+    tagged = _block_pair_tagged(asg, n_blocks)
 
     def gemm(key, pdf):
-        cell, gi, gj = int(key[0]), int(key[1]), int(key[2])
-        empty = pd.DataFrame(
-            {"cell_id": [], "a": [], "b": [], "cosine": []}
-        ).astype(
-            {"cell_id": np.int64, "a": np.int64, "b": np.int64, "cosine": np.float64}
-        )
-        left = pdf[pdf["side"] == 0]
-        if not len(left):
-            return empty
-        ids_a = left["vec_id"].to_numpy()
-        A = _quantize_np(np.stack(left["embedding"].to_numpy()))
-        na = (A.astype(np.float64) ** 2).sum(axis=1)
-        if gi == gj:
-            ids_b, Bm, nb = ids_a, A, na
-        else:
-            right = pdf[pdf["side"] == 1]
-            if not len(right):
-                return empty
-            ids_b = right["vec_id"].to_numpy()
-            Bm = _quantize_np(np.stack(right["embedding"].to_numpy()))
-            nb = (Bm.astype(np.float64) ** 2).sum(axis=1)
-        dot = A @ Bm.T  # int64 exact
-        cos = _round_half_away(dot / np.sqrt(np.outer(na, nb)), round_digits)
-        hit = cos >= threshold
-        if gi == gj:
-            hit &= ids_a[:, None] < ids_b[None, :]
-        ai, bi = np.nonzero(hit)
+        cell = int(key[0])
+        hits = _block_pair_hits(pdf, int(key[1]), int(key[2]), threshold, round_digits)
+        if hits is None:
+            return pd.DataFrame(
+                {"cell_id": [], "a": [], "b": [], "cosine": []}
+            ).astype(
+                {"cell_id": np.int64, "a": np.int64, "b": np.int64, "cosine": np.float64}
+            )
+        a, b, cos = hits
         return pd.DataFrame(
             {
-                "cell_id": np.full(len(ai), cell, dtype=np.int64),
-                "a": np.minimum(ids_a[ai], ids_b[bi]),
-                "b": np.maximum(ids_a[ai], ids_b[bi]),
-                "cosine": cos[ai, bi],
+                "cell_id": np.full(len(a), cell, dtype=np.int64),
+                "a": a,
+                "b": b,
+                "cosine": cos,
             }
         )
 

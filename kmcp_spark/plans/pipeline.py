@@ -94,7 +94,11 @@ class DedupPipeline:
         # The same footer walk yields the per-partition lineage records
         # (north rule: checkpoints carry per-partition lineage + metrics).
         files = partition_lineage(path)
-        n = sum(e["rows"] for e in files)
+        # iceberg checkpoints keep no local parquet files (the table's
+        # own snapshot manifests are the lineage); fall back to one
+        # count() job so stage metrics stay truthful instead of
+        # silently recording rows_out=0
+        n = sum(e["rows"] for e in files) if files else out.count()
         with open(os.path.join(self.out_dir, "lineage.jsonl"), "a") as f:
             f.write(
                 json.dumps(

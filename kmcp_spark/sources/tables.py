@@ -69,10 +69,14 @@ def write_checkpoint(
         w = w.partitionBy(*partition_by)
     if fmt == "iceberg":
         w.format("iceberg").saveAsTable(_iceberg_ident(path))
+        # the marker still lands as a local sidecar: checkpoint_valid()
+        # drives the skip-if-valid resume for BOTH formats (without this
+        # the iceberg path silently re-ran every stage every run)
+        os.makedirs(path, exist_ok=True)
     else:
         w.parquet(path)
-        with open(_marker(path), "w") as f:
-            json.dump({"fingerprint": fingerprint, "written_at": time.time()}, f)
+    with open(_marker(path), "w") as f:
+        json.dump({"fingerprint": fingerprint, "written_at": time.time()}, f)
 
 
 def _iceberg_ident(path: str) -> str:

@@ -31,16 +31,23 @@ The clip archive is re-read only for the transcripts of PLAUSIBLE pairs
 so file pruning applies).
 
 Restart safety: ``foreachBatch`` is at-least-once, so every sink write
-is keyed by ``batch_id`` (one ``batch_id=N`` directory per batch,
-overwrite-per-batch).  A replayed batch finds its committed directories
-(``_SUCCESS`` present) and skips them — flags and index rows appear
-exactly once no matter where a failure lands between the three writes.
+is keyed by (stream id, batch_id) — one ``batch_id=N__<qid>`` directory
+per batch, overwrite-per-batch, where ``<qid>`` is the stream's query
+id from the checkpoint metadata.  A replayed batch (same checkpoint →
+same qid, same batch_id) finds its committed directories (``_SUCCESS``
+present) and skips them — flags and index rows appear exactly once no
+matter where a failure lands between the three writes.  A NEW stream
+lineage (fresh/deleted checkpoint → new qid) restarts batch ids at 0;
+scoping the key by qid means its batch 0 neither skips on nor
+overwrites the old lineage's ``batch_id=0`` data — old-lineage flags,
+bands, and index rows remain part of the probed history.
 Partially-written directories (no ``_SUCCESS``) are excluded from reads
 and simply overwritten on replay.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -104,25 +111,51 @@ def streaming_exact_dedup(
     return writer.trigger(processingTime="10 seconds").start()
 
 
-def _batch_path(root: str, batch_id: int) -> str:
-    return os.path.join(root, f"batch_id={batch_id}")
+_STREAM_ID_CACHE: dict[str, str] = {}
 
 
-def _is_committed(root: str, batch_id: int) -> bool:
-    return os.path.exists(os.path.join(_batch_path(root, batch_id), "_SUCCESS"))
+def _stream_id(checkpoint_dir: str) -> str:
+    """The stream's stable query id (from the checkpoint's ``metadata``
+    file Spark writes at stream start): identical across restarts with
+    the same checkpoint, fresh for a new/deleted checkpoint.  This is
+    the correct idempotency scope for batch ids — Spark restarts batch
+    numbering at 0 per checkpoint lineage, so an unscoped ``batch_id=0``
+    commit from an old lineage would silently swallow a new lineage's
+    first batch."""
+    sid = _STREAM_ID_CACHE.get(checkpoint_dir)
+    if sid is None:
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                sid = str(json.load(f)["id"])[:8]
+        except (OSError, ValueError, KeyError):
+            sid = "default"
+        _STREAM_ID_CACHE[checkpoint_dir] = sid
+    return sid
 
 
-def _committed_paths(root: str, exclude_batch_id: int) -> list[str]:
-    """Committed batch_id=N subdirectories, excluding the given batch
-    (a replayed batch must not read its own partial output)."""
+def _batch_dirname(batch_id: int, sid: str) -> str:
+    return f"batch_id={batch_id}__{sid}"
+
+
+def _batch_path(root: str, batch_id: int, sid: str) -> str:
+    return os.path.join(root, _batch_dirname(batch_id, sid))
+
+
+def _is_committed(root: str, batch_id: int, sid: str) -> bool:
+    return os.path.exists(os.path.join(_batch_path(root, batch_id, sid), "_SUCCESS"))
+
+
+def _committed_paths(root: str, exclude_dirname: str) -> list[str]:
+    """Committed batch subdirectories (this lineage's AND any prior
+    lineage's), excluding the named current batch dir (a replayed batch
+    must not read its own partial output)."""
     if not os.path.isdir(root):
         return []
     out = []
     for name in sorted(os.listdir(root)):
-        if not name.startswith("batch_id="):
+        if not name.startswith("batch_id=") or name == exclude_dirname:
             continue
-        bid = int(name.split("=", 1)[1])
-        if bid != exclude_batch_id and os.path.exists(os.path.join(root, name, "_SUCCESS")):
+        if os.path.exists(os.path.join(root, name, "_SUCCESS")):
             out.append(os.path.join(root, name))
     return out
 
@@ -134,14 +167,18 @@ def _flag_batch(
     flags_dir: str,
     archive_dir: str,
     cfg: PipelineConfig,
+    checkpoint_dir: str,
 ) -> None:
     """One micro-batch: sketch, probe index, verify, write flags + index
-    + band rows — each sink idempotent per batch_id (see module doc)."""
+    + band rows — each sink idempotent per (stream id, batch_id) (see
+    module doc)."""
     spark = batch.sparkSession
+    sid = _stream_id(checkpoint_dir)
+    cur = _batch_dirname(batch_id, sid)
     bands_dir = index_dir + "_bands"
-    flags_done = _is_committed(flags_dir, batch_id)
-    index_done = _is_committed(index_dir, batch_id)
-    bands_done = _is_committed(bands_dir, batch_id)
+    flags_done = _is_committed(flags_dir, batch_id, sid)
+    index_done = _is_committed(index_dir, batch_id, sid)
+    bands_done = _is_committed(bands_dir, batch_id, sid)
     if flags_done and index_done and bands_done:
         return  # fully-committed replay (foreachBatch is at-least-once)
     sk_new = sketch_clips(batch, cfg).localCheckpoint(eager=True)
@@ -149,7 +186,7 @@ def _flag_batch(
     if not flags_done:
         # prior batches' band rows come from the persisted band table —
         # the index is banded once, on arrival, never again
-        prior_band_paths = _committed_paths(bands_dir, batch_id)
+        prior_band_paths = _committed_paths(bands_dir, cur)
         buckets = (
             bands_new.unionByName(spark.read.parquet(*prior_band_paths))
             if prior_band_paths
@@ -164,7 +201,7 @@ def _flag_batch(
             .unionByName(pairs.join(nid.withColumnRenamed("clip_id", "b"), "b", "leftsemi"))
             .dropDuplicates(["a", "b"])
         )
-        prior_index_paths = _committed_paths(index_dir, batch_id)
+        prior_index_paths = _committed_paths(index_dir, cur)
         sk_all = (
             sk_new.unionByName(spark.read.parquet(*prior_index_paths))
             if prior_index_paths
@@ -175,11 +212,11 @@ def _flag_batch(
         # the stream has ever seen, incl. this batch) — column-pruned scan
         clips_hist = spark.read.schema(CLIPS_SCHEMA).parquet(archive_dir)
         flags = verify_pairs(scored, clips_hist, cfg)
-        flags.write.mode("overwrite").parquet(_batch_path(flags_dir, batch_id))
+        flags.write.mode("overwrite").parquet(_batch_path(flags_dir, batch_id, sid))
     if not bands_done:
-        bands_new.write.mode("overwrite").parquet(_batch_path(bands_dir, batch_id))
+        bands_new.write.mode("overwrite").parquet(_batch_path(bands_dir, batch_id, sid))
     if not index_done:
-        sk_new.write.mode("overwrite").parquet(_batch_path(index_dir, batch_id))
+        sk_new.write.mode("overwrite").parquet(_batch_path(index_dir, batch_id, sid))
 
 
 def streaming_neardup_flags(
@@ -206,7 +243,7 @@ def streaming_neardup_flags(
         .parquet(input_dir)
     )
     writer = stream.writeStream.foreachBatch(
-        lambda b, bid: _flag_batch(b, int(bid), index_dir, flags_dir, input_dir, cfg)
+        lambda b, bid: _flag_batch(b, int(bid), index_dir, flags_dir, input_dir, cfg, checkpoint_dir)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         q = writer.trigger(availableNow=True).start()

@@ -160,3 +160,30 @@ def test_min_chunk_frac_gate(spark):
         pairs, sk, min_chunk_jaccard=0.5, min_chunk_frac=0.8
     ).toPandas()
     assert len(strict) == 0
+
+
+def test_depth_dispersion_gate_survives_web_scale_depth_sums(spark):
+    """Regression (r3 review): per-chunk depth sums past ~3.03e9 made
+    the old bigint d*d (and total*total) overflow — a hard
+    ARITHMETIC_OVERFLOW under Spark's default ANSI mode on realistic
+    dense clusters (n_chunks x members x 1e6 quantized weight).  The
+    decimal(38,0) aggregation must stay exact and the gate's verdicts
+    unchanged.  Here ~3500 intra-cluster chunk matches per chunk push
+    each depth sum to 3.5e9 (d^2 = 1.2e19 > int64 max)."""
+    from kmcp_spark.operators.chunking import depth_dispersion_gate
+
+    rows = [("a", c, f"b{i:04d}", c, 1.0) for c in (0, 1) for i in range(3500)]
+    matched = spark.createDataFrame(
+        rows, "a string, a_chunk int, b string, b_chunk int, chunk_jaccard double"
+    )
+    members = ["a"] + [f"b{i:04d}" for i in range(3500)]
+    sketches = spark.createDataFrame(
+        [(m, 2) for m in members], "clip_id string, n_chunks int"
+    )
+    labels = spark.createDataFrame(
+        [(m, "a") for m in members], "clip_id string, cluster_id string"
+    )
+    out = depth_dispersion_gate(matched, sketches, labels).toPandas().set_index("clip_id")
+    # clip a: depth 3.5e9 on BOTH chunks -> perfectly even -> passes
+    assert out.loc["a", "depth_gate_passed"]
+    assert out.loc["a", "rel_depth_std"] < 1e-9

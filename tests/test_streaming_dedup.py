@@ -85,27 +85,49 @@ def test_flag_batch_replay_is_idempotent(spark, tmp_out):
     os.makedirs(in_dir)
     cfg = PipelineConfig()
 
+    ckpt = os.path.join(tmp_out, "ckpt")  # no metadata file -> sid "default"
+
     _drop(spark, in_dir, [40] + list(range(20, 30)))
     batch0 = spark.read.parquet(in_dir)
-    _flag_batch(batch0, 0, index, flags, in_dir, cfg)
+    _flag_batch(batch0, 0, index, flags, in_dir, cfg, ckpt)
     _drop(spark, in_dir, [41, 42, 43])
     batch1 = spark.read.parquet(in_dir).filter("clip_id > 'clip_0000000040'")
-    _flag_batch(batch1, 1, index, flags, in_dir, cfg)
+    _flag_batch(batch1, 1, index, flags, in_dir, cfg, ckpt)
 
     n_flags = spark.read.parquet(flags).count()
     n_index = spark.read.parquet(index).count()
     assert n_flags == 6 and n_index == 14
 
-    # replay both batches (same batch_id): fully-committed -> no-op
-    _flag_batch(batch0, 0, index, flags, in_dir, cfg)
-    _flag_batch(batch1, 1, index, flags, in_dir, cfg)
+    # replay both batches (same lineage + batch_id): fully-committed -> no-op
+    _flag_batch(batch0, 0, index, flags, in_dir, cfg, ckpt)
+    _flag_batch(batch1, 1, index, flags, in_dir, cfg, ckpt)
     assert spark.read.parquet(flags).count() == n_flags
     assert spark.read.parquet(index).count() == n_index
 
-    # the band table holds exactly one committed dir per batch — prior
-    # batches are never re-banded
+    # the band table holds exactly one committed dir per (lineage, batch)
+    # — prior batches are never re-banded
     bands = sorted(os.listdir(index + "_bands"))
-    assert bands == ["batch_id=0", "batch_id=1"]
+    assert bands == ["batch_id=0__default", "batch_id=1__default"]
+
+    # a NEW stream lineage (fresh checkpoint -> new sid) restarting at
+    # batch_id 0 must NOT skip on the old lineage's commit: its clips
+    # get indexed and flagged against the full prior history
+    from kmcp_spark.streaming.dedup import _STREAM_ID_CACHE
+
+    ckpt2 = os.path.join(tmp_out, "ckpt2")
+    os.makedirs(ckpt2)
+    with open(os.path.join(ckpt2, "metadata"), "w") as f:
+        f.write('{"id": "aabbccdd-0000"}')
+    _STREAM_ID_CACHE.clear()
+    _drop(spark, in_dir, [60])  # dup of clip 40's content? no — new clip
+    batch0b = spark.read.parquet(in_dir).filter("clip_id > 'clip_0000000043'")
+    _flag_batch(batch0b, 0, index, flags, in_dir, cfg, ckpt2)
+    assert spark.read.parquet(index).count() == n_index + 1  # not swallowed
+    assert sorted(os.listdir(index)) == [
+        "batch_id=0__aabbccdd",
+        "batch_id=0__default",
+        "batch_id=1__default",
+    ]
 
 
 def test_streaming_exact_dedup_watermark_variant(spark, tmp_out):
