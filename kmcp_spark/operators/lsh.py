@@ -23,7 +23,7 @@ buckets are also counted into the metrics table (no silent caps).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def band_buckets(sketches: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

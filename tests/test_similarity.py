@@ -183,3 +183,14 @@ def test_semantic_dedup_giant_cell_splits_into_blocks(spark):
     want = {(r["a"], r["b"]) for r in cosine_dup_pairs(emb, threshold=0.99).collect()}
     assert {(r["a"], r["b"]) for r in got} == want
     assert len(want) > 1000  # near-identical vectors: most pairs qualify
+
+
+def test_block_gemm_invariant_to_block_count(spark):
+    """The block-pair decomposition is a physical strategy only: the
+    emitted pair set and cosines must be identical for any n_blocks."""
+    emb = _emb(spark, n=150)
+    r2 = {(r["a"], r["b"]): r["cosine"]
+          for r in cosine_dup_pairs(emb, threshold=0.9, n_blocks=2).collect()}
+    r5 = {(r["a"], r["b"]): r["cosine"]
+          for r in cosine_dup_pairs(emb, threshold=0.9, n_blocks=5).collect()}
+    assert r2 == r5 and len(r2) > 10
