@@ -54,25 +54,61 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Bulky diagnostic fields are NOT printed on stdout: the driver captures
+# only the last ~2000 chars of the tail, and round 3's final line grew
+# past that (parsed: null).  These keys are split into a side artifact
+# (BENCH/bench_side.json) so the stdout line stays compact — scalars +
+# the per-query dict only.
+_SIDE_KEYS = (
+    "wall_samples_n", "wall_samples_4n", "host_probes",
+    "stage_ms_n", "stage_ms_4n", "stage_ms_rounds_n", "stage_ms_rounds_4n",
+)
+LINE_BUDGET = 1800  # driver tail capture is ~2000 chars; stay safely under
+
+
 def emit(result: dict, phase: str) -> None:
     """Print the current best-so-far artifact as one complete JSON line.
 
     Called after every phase and every scaling round, so an external
     kill at any point still leaves the most recent complete line on
     stdout (the driver's parser takes the last parseable line).
+    Bulky diagnostics (wall samples, per-round stage walls, host probes)
+    go to BENCH/bench_side.json instead of the line — see _SIDE_KEYS.
     """
     global _BEST
     result = dict(result)
     result["phase"] = phase
     result["bench_wall_sec"] = round(time.time() - T0, 1)
-    _BEST = result
+    side = {k: result.pop(k) for k in _SIDE_KEYS if k in result}
     line = json.dumps(result)
+    if len(line) > LINE_BUDGET:
+        # progressive shrink, cheapest information first
+        log(f"emit: line {len(line)} chars > {LINE_BUDGET}, shrinking")
+        if "scaling_error" in result:
+            result["scaling_error"] = result["scaling_error"][:120]
+        result["queries"] = {k: round(v, 1) for k, v in result.get("queries", {}).items()}
+        line = json.dumps(result)
+    if len(line) > LINE_BUDGET:
+        # divert secondary scaling figures too; the contract core
+        # (metric/value/unit/queries/sf/scaling_efficiency/
+        # scaling_window_valid) always stays on the line
+        for k in ("scaling_efficiency_min_legs", "scaling_efficiency_best_round",
+                  "min_stream_gbps", "clips_per_sec_n", "wall_sec_n", "wall_sec_4n"):
+            if k in result:
+                side[k] = result.pop(k)
+        line = json.dumps(result)
+    _BEST = result
     print(line, flush=True)
     # belt-and-braces: the same line lands in a file, so the artifact
     # survives even a stdout-capture failure
     try:
         with open(os.path.join(REPO, "_bench_partial.json"), "w") as f:
             f.write(line + "\n")
+        if side:
+            side["phase"] = phase
+            os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+            with open(os.path.join(REPO, "BENCH", "bench_side.json"), "w") as f:
+                json.dump(side, f, indent=1)
     except OSError:
         pass
 
