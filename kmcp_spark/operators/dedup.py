@@ -76,8 +76,12 @@ def word_ngrams_df(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, gram) rows: distinct space-joined word n-grams, JVM-only.
 
     Built from ``split`` + ``sequence`` + ``transform`` + ``explode`` so
-    DuckDB can mirror it with a list comprehension — no UDF, and the
-    gram text (not a private hash) is the join key.
+    DuckDB can mirror it with a list comprehension.  This relation
+    carries gram TEXT; the Jaccard/containment consumers reduce it to
+    ``xxhash64`` int64 keys before the shuffle (see ``_gram_tables`` —
+    the joins only count matches, and the int64 key cuts shuffle bytes
+    ~2.5x; a colliding pair needs ~2^32 distinct grams to reach 50%
+    odds, so the text-joining DuckDB oracle still matches).
     """
     return docs.select("doc_id", F.explode(_gram_array(n)).alias("gram"))
 
@@ -132,16 +136,24 @@ def _gram_tables(docs: DataFrame, n: int, max_gram_docs: int):
     for a single colliding pair."""
     from pyspark import StorageLevel
 
-    g = (
+    from kmcp_spark.runtime import defer_unpersist, release_deferred
+
+    # sweep the previous query's internal caches (deferred-release
+    # protocol, runtime.py): without this a long-lived session running
+    # many document queries accumulates every query's gram relations
+    release_deferred()
+    g = defer_unpersist(
         word_ngrams_df(docs, n)
         .select("doc_id", F.xxhash64("gram").alias("gram"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     gram_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
-    g_ok = g.join(
-        gram_freq.filter(F.col("df") <= max_gram_docs).select("gram"), "gram"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    g_ok = defer_unpersist(
+        g.join(
+            gram_freq.filter(F.col("df") <= max_gram_docs).select("gram"), "gram"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return g, sizes, g_ok
 
 
@@ -282,11 +294,14 @@ def minhash_lsh_dup_pairs(
     # verify, so they are excluded from banding outright
     from pyspark import StorageLevel
 
+    from kmcp_spark.runtime import defer_unpersist, release_deferred
+
+    release_deferred()  # sweep the previous query's internal caches
     # ONE pass over the text: the signature kernel also emits the
     # distinct gram-hash set, and that single persisted relation feeds
     # both the banding (doc_id + minhash only — gram arrays never enter
     # the band shuffle) and the verify joins
-    sigs = (
+    sigs = defer_unpersist(
         doc_signatures(docs, n=n, num_perm=num_perm, with_gram_hashes=True)
         .filter(F.col("n_grams") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -498,7 +513,10 @@ def multi_k_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    msigs = (
+    from kmcp_spark.runtime import defer_unpersist, release_deferred
+
+    release_deferred()  # sweep the previous query's internal caches
+    msigs = defer_unpersist(
         multi_doc_signatures(docs, tuple(sorted(ks, reverse=True)), num_perm=num_perm)
         .filter(F.col("n_grams") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -507,7 +525,7 @@ def multi_k_dup_pairs(
     for n in sorted(ks, reverse=True):
         # persist each level: the anti-join consumes every PRIOR level's
         # plan again, and Catalyst does not dedupe common subplans
-        p = (
+        p = defer_unpersist(
             _lsh_verify_pairs(
                 msigs.filter(F.col("gram_n") == n).drop("gram_n"),
                 num_perm,

@@ -33,7 +33,8 @@ from kmcp_spark.sources.tables import (
     checkpoint_valid,
     partition_lineage,
     read_checkpoint,
-    write_checkpoint,
+    write_checkpoint_data,
+    write_checkpoint_marker,
 )
 
 
@@ -66,10 +67,16 @@ class DedupPipeline:
     carries the current config fingerprint (resume-from-checkpoint)."""
 
     def __init__(self, spark: SparkSession, cfg: PipelineConfig, out_dir: str):
+        import uuid
+
         self.spark = spark
         self.cfg = cfg
         self.out_dir = out_dir
         self.fp = cfg.fingerprint()
+        # lineage.jsonl spans runs (append mode); the run id lets an
+        # audit separate this run's records from a superseded run's at
+        # the same path without relying on record order alone
+        self.run_id = uuid.uuid4().hex[:8]
         self.metrics: list[StageMetric] = []
         os.makedirs(out_dir, exist_ok=True)
 
@@ -87,7 +94,7 @@ class DedupPipeline:
             self.metrics.append(StageMetric(name, -1, int((time.time() - t0) * 1000), True))
             return df
         df = build()
-        write_checkpoint(df, path, self.fp, partition_by)
+        write_checkpoint_data(df, path, partition_by)
         out = read_checkpoint(self.spark, path)
         # rows_out from parquet footers: a count() here was one whole
         # extra Spark job per stage (5 jobs/run of pure fixed latency).
@@ -104,6 +111,7 @@ class DedupPipeline:
                 json.dumps(
                     {
                         "stage": name,
+                        "run_id": self.run_id,
                         "fingerprint": self.fp,
                         "n_files": len(files),
                         "rows_out": n,
@@ -113,6 +121,12 @@ class DedupPipeline:
                 )
                 + "\n"
             )
+            f.flush()
+            os.fsync(f.fileno())
+        # the marker lands only AFTER the lineage record is durable, so
+        # checkpoint_valid() => this stage's files are lineage-recorded
+        # (a crash in between re-runs the stage; overwrite is idempotent)
+        write_checkpoint_marker(path, self.fp)
         self.metrics.append(StageMetric(name, n, int((time.time() - t0) * 1000), False))
         return out
 

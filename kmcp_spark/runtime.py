@@ -26,3 +26,38 @@ def unpersist_ids(sc, ids: set[int]) -> None:
         rdd = jmap.get(rid)
         if rdd is not None:
             rdd.unpersist(False)
+
+
+# ---------------------------------------------------------------- deferred
+# Operator-internal persisted relations (shared gram tables, signature
+# relations, multi-k levels) are only useful while the operator's
+# returned LAZY plan is being consumed — but the operator cannot see
+# when that happens.  Each such relation is registered here; the next
+# operator call (or an explicit release_deferred()) unpersists the
+# previous batch, so a long-lived session running many document queries
+# holds at most one query's internal caches instead of accumulating
+# every query's.  Unpersisting a .persist() cache is always safe: a
+# consumer that runs afterwards simply recomputes.
+
+_DEFERRED: list = []
+
+
+def defer_unpersist(df):
+    """Register an operator-internal cached DataFrame for deferred
+    release; returns ``df`` for chaining.  Only .persist() caches may be
+    registered — never localCheckpoints (whose blocks are required for
+    correctness once lineage is truncated)."""
+    _DEFERRED.append(df)
+    return df
+
+
+def release_deferred() -> int:
+    """Unpersist every registered internal cache; returns how many."""
+    global _DEFERRED
+    pending, _DEFERRED = _DEFERRED, []
+    for df in pending:
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass  # session already stopped
+    return len(pending)

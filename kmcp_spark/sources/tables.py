@@ -63,6 +63,20 @@ def write_checkpoint(
     jar, so parquet directories with the atomic ``_FINGERPRINT`` marker
     provide the same skip-if-valid resume semantics.
     """
+    write_checkpoint_data(df, path, partition_by, fmt)
+    write_checkpoint_marker(path, fingerprint)
+
+
+def write_checkpoint_data(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str | None = None,
+) -> None:
+    """The data half of ``write_checkpoint`` — no marker.  Callers that
+    record lineage between the data landing and the marker landing (so
+    marker-valid always implies lineage-recorded) use this +
+    ``write_checkpoint_marker`` directly."""
     fmt = fmt or os.environ.get("SPARK_GRAFT_CHECKPOINT_FORMAT", "parquet")
     w = df.write.mode("overwrite")
     if partition_by:
@@ -75,6 +89,9 @@ def write_checkpoint(
         os.makedirs(path, exist_ok=True)
     else:
         w.parquet(path)
+
+
+def write_checkpoint_marker(path: str, fingerprint: str) -> None:
     with open(_marker(path), "w") as f:
         json.dump({"fingerprint": fingerprint, "written_at": time.time()}, f)
 

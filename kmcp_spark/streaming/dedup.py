@@ -111,9 +111,6 @@ def streaming_exact_dedup(
     return writer.trigger(processingTime="10 seconds").start()
 
 
-_STREAM_ID_CACHE: dict[str, str] = {}
-
-
 def _stream_id(checkpoint_dir: str) -> str:
     """The stream's stable query id (from the checkpoint's ``metadata``
     file Spark writes at stream start): identical across restarts with
@@ -121,16 +118,20 @@ def _stream_id(checkpoint_dir: str) -> str:
     the correct idempotency scope for batch ids — Spark restarts batch
     numbering at 0 per checkpoint lineage, so an unscoped ``batch_id=0``
     commit from an old lineage would silently swallow a new lineage's
-    first batch."""
-    sid = _STREAM_ID_CACHE.get(checkpoint_dir)
-    if sid is None:
-        try:
-            with open(os.path.join(checkpoint_dir, "metadata")) as f:
-                sid = str(json.load(f)["id"])[:8]
-        except (OSError, ValueError, KeyError):
-            sid = "default"
-        _STREAM_ID_CACHE[checkpoint_dir] = sid
-    return sid
+    first batch.
+
+    Deliberately NOT cached: the read is one tiny driver-side file per
+    batch, and a cache keyed by path would keep serving a dead
+    lineage's id after the checkpoint is deleted and a new stream
+    started at the same path in the same driver process (or pin a
+    'default' fallback from a transient read failure) — making the new
+    lineage's batch 0 match the old lineage's committed dir and be
+    silently skipped."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(json.load(f)["id"])[:8]
+    except (OSError, ValueError, KeyError):
+        return "default"
 
 
 def _batch_dirname(batch_id: int, sid: str) -> str:
@@ -142,7 +143,17 @@ def _batch_path(root: str, batch_id: int, sid: str) -> str:
 
 
 def _is_committed(root: str, batch_id: int, sid: str) -> bool:
-    return os.path.exists(os.path.join(_batch_path(root, batch_id, sid), "_SUCCESS"))
+    if os.path.exists(os.path.join(_batch_path(root, batch_id, sid), "_SUCCESS")):
+        return True
+    # Upgrade path: dirs written before batch ids were scoped by stream
+    # id are bare ``batch_id=N``.  A replay across the naming change has
+    # the SAME checkpoint lineage, so its legacy dir is its own commit —
+    # recognize it, or the replay would recompute the batch into
+    # ``batch_id=N__<sid>`` alongside the legacy dir and duplicate its
+    # rows in every downstream read.  (A NEW lineage started over legacy
+    # data from a DELETED checkpoint is inherently ambiguous — legacy
+    # names carry no lineage; migrate by renaming to the scoped scheme.)
+    return os.path.exists(os.path.join(root, f"batch_id={batch_id}", "_SUCCESS"))
 
 
 def _committed_paths(root: str, exclude_dirname: str) -> list[str]:

@@ -112,13 +112,10 @@ def test_flag_batch_replay_is_idempotent(spark, tmp_out):
     # a NEW stream lineage (fresh checkpoint -> new sid) restarting at
     # batch_id 0 must NOT skip on the old lineage's commit: its clips
     # get indexed and flagged against the full prior history
-    from kmcp_spark.streaming.dedup import _STREAM_ID_CACHE
-
     ckpt2 = os.path.join(tmp_out, "ckpt2")
     os.makedirs(ckpt2)
     with open(os.path.join(ckpt2, "metadata"), "w") as f:
         f.write('{"id": "aabbccdd-0000"}')
-    _STREAM_ID_CACHE.clear()
     _drop(spark, in_dir, [60])  # dup of clip 40's content? no — new clip
     batch0b = spark.read.parquet(in_dir).filter("clip_id > 'clip_0000000043'")
     _flag_batch(batch0b, 0, index, flags, in_dir, cfg, ckpt2)
@@ -128,6 +125,45 @@ def test_flag_batch_replay_is_idempotent(spark, tmp_out):
         "batch_id=0__default",
         "batch_id=1__default",
     ]
+
+
+def test_stream_id_not_cached_across_lineages(tmp_out):
+    """Deleting a checkpoint and starting a new stream at the SAME path
+    within one driver process must yield the new lineage's id — a
+    path-keyed cache here silently swallowed the new stream's batch 0."""
+    import shutil
+
+    from kmcp_spark.streaming.dedup import _stream_id
+
+    ckpt = os.path.join(tmp_out, "ckpt")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "metadata"), "w") as f:
+        f.write('{"id": "11111111-aaaa"}')
+    assert _stream_id(ckpt) == "11111111"
+    shutil.rmtree(ckpt)
+    # transient gap (metadata not yet written) must not pin 'default'
+    os.makedirs(ckpt)
+    assert _stream_id(ckpt) == "default"
+    with open(os.path.join(ckpt, "metadata"), "w") as f:
+        f.write('{"id": "22222222-bbbb"}')
+    assert _stream_id(ckpt) == "22222222"
+
+
+def test_legacy_unscoped_batch_dir_counts_as_committed(tmp_out):
+    """Dirs written before batch ids were scoped by stream id
+    (bare batch_id=N) must be recognized as committed for the same
+    lineage, or a replay across the upgrade duplicates the batch."""
+    from kmcp_spark.streaming.dedup import _is_committed
+
+    root = os.path.join(tmp_out, "flags")
+    legacy = os.path.join(root, "batch_id=3")
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "_SUCCESS"), "w").close()
+    assert _is_committed(root, 3, "deadbeef")
+    assert not _is_committed(root, 4, "deadbeef")
+    # an UNcommitted legacy dir (no _SUCCESS) is not a commit
+    os.makedirs(os.path.join(root, "batch_id=5"))
+    assert not _is_committed(root, 5, "deadbeef")
 
 
 def test_streaming_exact_dedup_watermark_variant(spark, tmp_out):
