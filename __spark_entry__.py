@@ -144,6 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=3,
             min_common=2,
         ),
+        # --- multimodal image near-dup (deterministic synthetic image
+        # corpus in real PNG/BMP/PPM containers; the numpy decode+dHash
+        # kernel's output is staged as an aux table and the pigeonhole
+        # banding + hamming plan is oracle-checked from it, exactly like
+        # dedup_simhash) ---
+        "image_dup_pairs": _image_dup_pairs,
         # --- the clip pipeline itself, driven on a deterministic
         # synthetic corpus (input_hint schema).  The audio kernels have
         # no SQL equivalent, so their outputs are staged as aux tables
@@ -177,6 +183,49 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_fixtures")
+
+
+def _images_corpus(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Write-once parquet fixture of the deterministic synthetic image
+    corpus (real PNG/BMP/PPM bytes, planted near-dup clusters — see
+    ``kmcp_spark.corpus.make_image_rows``)."""
+    import json
+
+    from kmcp_spark.corpus import generate_images
+
+    base = os.path.join(_FIXTURE_DIR, f"images{n}")
+    marker = os.path.join(base, "_done.json")
+    if not os.path.exists(marker):
+        images, truth = generate_images(spark, n, partitions=8)
+        images.write.mode("overwrite").parquet(os.path.join(base, "images"))
+        truth.write.mode("overwrite").parquet(os.path.join(base, "truth"))
+        with open(marker, "w") as f:
+            json.dump({"n": n}, f)
+    return spark.read.parquet(os.path.join(base, "images"))
+
+
+def _image_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup pairs over the 120-image fixture.  The decode →
+    dHash kernel (pure numpy PNG/BMP/PPM codecs + 9x8 difference hash,
+    ``kmcp_spark/functions/image.py``) has no SQL equivalent, so its
+    per-image fingerprints are staged as an aux table; the pigeonhole
+    banding + exact hamming pairing runs over that table in Spark while
+    DuckDB mirrors it with an all-pairs scan — identical results because
+    the banding is lossless for hamming <= n_bands - 1 (same contract as
+    ``dedup_simhash``)."""
+    from pyspark.sql import functions as F
+
+    from kmcp_spark.operators.media import image_dhash
+
+    items = _images_corpus(spark)
+    sigs = image_dhash(items).filter(F.col("decode_ok"))
+    path = _write_aux(sigs.select("item_id", "dhash"), "image_dhash", ["item_id"])
+    return D.simhash_pairs_from_sigs(
+        spark.read.parquet(path)
+        .select(F.col("item_id").alias("doc_id"), F.col("dhash").alias("simhash")),
+        max_hamming=8,
+        n_bands=9,
+    )
 
 
 def _clips_corpus(spark: SparkSession, n: int = 80):
@@ -641,6 +690,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        # image near-dup: all-pairs hamming scan over the staged dHash
+        # table (Spark side prunes with lossless pigeonhole banding)
+        "image_dup_pairs": f"""
+            WITH s AS (SELECT * FROM read_parquet('{_aux_glob("image_dhash")}'))
+            SELECT a.item_id AS a, b.item_id AS b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.item_id < b.item_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 8
         """,
         # decontamination: benchmark = first 20 docs; corpus docs (bench
         # excluded) flagged when sharing >= 2 distinct 3-grams with it

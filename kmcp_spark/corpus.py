@@ -217,3 +217,128 @@ def generate_clips(spark, n: int, master_seed: int = 42,
     clips = full.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
     truth = full.select("clip_id", "cluster_id", "transform")
     return clips, truth
+
+
+# ------------------------------------------------------------------ images
+# Deterministic synthetic image corpus (multimodal-columns brief): opaque
+# binary payloads in three REAL container formats (PNG/BMP/PPM — pure
+# numpy/stdlib codecs, functions/image.py) + typed metadata, with planted
+# near-dup clusters mirroring the audio corpus layout:
+#
+#     I0 exact      — byte-identical
+#     I1 re-encode  — same pixels, different container (lossless)
+#     I2 brightness — +/- uniform shift (dHash is comparison-based ->
+#                     fingerprint-invariant)
+#     I3 noise      — sigma~2 Gaussian pixel noise (a few dHash bits)
+#     I4 rescale    — area-downscale to ~75% (dHash is scale-normalized)
+#     I5 near-miss  — independent image, own cluster (must NOT pair)
+
+IMAGES_SCHEMA = "item_id string, bytes binary, fmt string, width int, height int"
+IMAGE_TRUTH_SCHEMA = "item_id string, cluster_id string, transform string"
+
+_IMG_FMTS = ["png", "bmp", "ppm"]
+_IMG_TRANSFORMS = ["I0", "I1", "I2", "I3", "I4"]
+
+
+def _base_image(master_seed: int, idx: int) -> tuple[np.ndarray, str]:
+    """Deterministic structured content: smooth gradient field + a few
+    solid rectangles — distinct ids land far apart in dHash space."""
+    rng = _rng(master_seed ^ 0x1A6E, idx)
+    h = int(rng.integers(40, 97))
+    w = int(rng.integers(40, 97))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        fy, fx = rng.uniform(0.5, 3.0, 2)
+        ph_y, ph_x = rng.uniform(0, 2 * np.pi, 2)
+        img[:, :, c] = 128 + 90 * np.sin(2 * np.pi * fy * yy / h + ph_y) * np.cos(
+            2 * np.pi * fx * xx / w + ph_x
+        )
+    for _ in range(int(rng.integers(2, 5))):
+        y0, x0 = int(rng.integers(0, h - 8)), int(rng.integers(0, w - 8))
+        rh, rw = int(rng.integers(6, h // 2)), int(rng.integers(6, w // 2))
+        img[y0 : y0 + rh, x0 : x0 + rw] = rng.integers(0, 256, 3)
+    fmt = _IMG_FMTS[int(rng.integers(0, len(_IMG_FMTS)))]
+    return np.clip(img, 0, 255).astype(np.uint8), fmt
+
+
+def _encode_image(img: np.ndarray, fmt: str) -> bytes:
+    from kmcp_spark.functions import image as I
+
+    return {"png": I.encode_png, "bmp": I.encode_bmp, "ppm": I.encode_ppm}[fmt](img)
+
+
+def make_image_rows(ids: np.ndarray, master_seed: int = 42) -> pd.DataFrame:
+    from kmcp_spark.functions.image import resize_area
+
+    recs = []
+    for idx in ids.tolist():
+        plan = _plan(idx)
+        if plan is None:
+            img, fmt = _base_image(master_seed, idx)
+            transform, cluster = "", f"img_{idx:010d}"
+        else:
+            base_idx, j = plan
+            img, fmt = _base_image(master_seed, base_idx)
+            rng = _rng(master_seed ^ 0x1A6E, (idx << 1) | 1)
+            if j == -1:  # I5 near-miss: independent content, own cluster
+                img, fmt = _base_image(master_seed, idx + 10_000_019)
+                transform, cluster = "I5", f"img_{idx:010d}"
+            elif j == 0:
+                transform, cluster = "base", f"img_{base_idx:010d}"
+            else:
+                transform = _IMG_TRANSFORMS[(base_idx // _BLOCK + j) % 5]
+                cluster = f"img_{base_idx:010d}"
+                if transform == "I1":
+                    fmt = _IMG_FMTS[(_IMG_FMTS.index(fmt) + 1) % len(_IMG_FMTS)]
+                elif transform == "I2":
+                    img = np.clip(
+                        img.astype(np.int16) + int(rng.integers(-25, 26)), 0, 255
+                    ).astype(np.uint8)
+                elif transform == "I3":
+                    img = np.clip(
+                        img.astype(np.float64) + rng.normal(0, 2.0, img.shape), 0, 255
+                    ).astype(np.uint8)
+                elif transform == "I4":
+                    h, w = img.shape[:2]
+                    img = np.stack(
+                        [
+                            resize_area(img[:, :, c].astype(np.float64),
+                                        int(h * 0.75), int(w * 0.75))
+                            for c in range(3)
+                        ],
+                        axis=-1,
+                    )
+                    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+        data = _encode_image(img, fmt)
+        recs.append(
+            {
+                "item_id": f"img_{idx:010d}",
+                "bytes": data,
+                "fmt": fmt,
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "cluster_id": cluster,
+                "transform": transform,
+            }
+        )
+    return pd.DataFrame.from_records(
+        recs,
+        columns=["item_id", "bytes", "fmt", "width", "height", "cluster_id", "transform"],
+    )
+
+
+def generate_images(spark, n: int, master_seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic image corpus: (images_df, truth_df)."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            yield make_image_rows(pdf["id"].to_numpy(), master_seed)
+
+    full = spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=IMAGES_SCHEMA + ", cluster_id string, transform string"
+    )
+    images = full.select("item_id", "bytes", "fmt", "width", "height")
+    truth = full.select("item_id", "cluster_id", "transform")
+    return images, truth

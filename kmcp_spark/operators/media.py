@@ -1,11 +1,14 @@
 """Multimodal column operators: opaque ``binary`` payloads + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-Audio decode + feature extraction are REAL (stdlib/numpy WAV + PCM16).
-Image/video decode are STUBS behind clearly-marked gates — this
-container has no codec libraries — but the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested:
-swapping the kernel body for PIL/ffmpeg is a one-function change.
+Audio decode + feature extraction are REAL (stdlib/numpy WAV + PCM16),
+and image decode is REAL for PNG/BMP/PPM (pure numpy/stdlib codecs,
+``functions/image.py``) feeding dHash fingerprinting + near-dup
+pairing.  The remaining honest stubs are lossy codecs that genuinely
+need native libraries absent from this container: JPEG (libjpeg) and
+FLAC — both clearly marked, both landing as ``decode_ok=False`` rather
+than crashing, and the Spark-side plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) is identical to the real paths.
 """
 
 from __future__ import annotations
@@ -121,34 +124,75 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def decode_image_stub(data: bytes) -> np.ndarray:
-    """STUB: no image codec libraries in this container.
-
-    Real deployments drop in PIL/turbojpeg here; everything downstream
-    (schema, batching, partitioning) is codec-agnostic.
-    """
-    raise NotImplementedError("image decode requires PIL/libjpeg — not in this container")
-
-
 def image_features(items: DataFrame, id_col: str = "item_id", bytes_col: str = "bytes") -> DataFrame:
-    """Plumbing-complete image feature extraction (kernel stubbed)."""
+    """REAL image feature extraction over the binary column.
+
+    PNG/BMP/PPM decode is pure numpy/stdlib (``functions/image.py``);
+    JPEG is recognized but raises NotImplementedError (needs libjpeg —
+    the one remaining honest stub) and lands as ``decode_ok=False``,
+    exactly like unknown containers."""
+    from kmcp_spark.functions.image import decode_image, luma
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for iid, buf in zip(pdf[id_col].tolist(), pdf[bytes_col].tolist()):
                 try:
-                    img = decode_image_stub(buf)
+                    img = decode_image(bytes(buf))
                     rows.append(
                         dict(
                             item_id=iid, width=img.shape[1], height=img.shape[0],
-                            mean_luma=float(img.mean()), decode_ok=True,
+                            mean_luma=float(luma(img).mean()), decode_ok=True,
                         )
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     rows.append(
                         dict(item_id=iid, width=-1, height=-1, mean_luma=0.0, decode_ok=False)
                     )
             yield pd.DataFrame(rows)
 
     return items.select(id_col, bytes_col).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+IMAGE_DHASH_SCHEMA = "item_id string, dhash bigint, width int, height int, decode_ok boolean"
+
+
+def image_dhash(items: DataFrame, id_col: str = "item_id", bytes_col: str = "bytes") -> DataFrame:
+    """Per-image 64-bit dHash (decode → luma → 9x8 area-resize →
+    adjacent-column compare, ``functions/image.py:dhash64``) — the image
+    analog of the SimHash fingerprint: near-dup pairing reuses the SAME
+    pigeonhole band machinery (``operators/dedup.simhash_pairs_from_sigs``).
+    Arrow-batched; one decode per image, no per-row Python UDF."""
+    from kmcp_spark.functions.image import dhash64_batch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, ws, hs, ok = dhash64_batch(pdf[bytes_col].tolist())
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].to_numpy(),
+                    "dhash": hashes,
+                    "width": ws,
+                    "height": hs,
+                    "decode_ok": ok,
+                }
+            )
+
+    return items.select(id_col, bytes_col).mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
+
+
+def image_dup_pairs(items: DataFrame, max_hamming: int = 8, n_bands: int = 9) -> DataFrame:
+    """Image near-dup pairs: dHash fingerprints paired with the exact
+    pigeonhole-banding + hamming filter (Manku WWW 2007) shared with the
+    text SimHash path.  Lossless re-encodes land at hamming 0; mild
+    photometric edits within a few bits; unrelated images ~32."""
+    from pyspark.sql import functions as F
+
+    from kmcp_spark.operators.dedup import simhash_pairs_from_sigs
+
+    sigs = (
+        image_dhash(items)
+        .filter(F.col("decode_ok"))
+        .select(F.col("item_id").alias("doc_id"), F.col("dhash").alias("simhash"))
+    )
+    return simhash_pairs_from_sigs(sigs, max_hamming=max_hamming, n_bands=n_bands)

@@ -1,0 +1,88 @@
+"""Pure-numpy image codec + dHash kernel tests (functions/image.py):
+lossless round-trips for all three containers, PNG un-filtering of all
+five scanline filters, dispatch by magic, and the dHash invariances the
+image near-dup operator relies on."""
+
+import numpy as np
+import pytest
+
+from kmcp_spark.functions import image as I
+
+
+def _img(h=37, w=53, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _ham(a, b):
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+@pytest.mark.parametrize("enc,dec", [
+    (I.encode_ppm, I.decode_ppm),
+    (I.encode_bmp, I.decode_bmp),
+    (I.encode_png, I.decode_png),
+])
+def test_lossless_round_trip(enc, dec):
+    img = _img()
+    assert np.array_equal(dec(enc(img)), img)
+    # width not divisible by 4 exercises BMP row padding; 1x1 the corners
+    tiny = _img(1, 1, seed=3)
+    assert np.array_equal(dec(enc(tiny)), tiny)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_scanline_filters(ftype):
+    img = _img(seed=ftype)
+    assert np.array_equal(I.decode_png(I.encode_png(img, filter_type=ftype)), img)
+
+
+def test_decode_image_dispatch():
+    img = _img()
+    for enc in (I.encode_ppm, I.encode_bmp, I.encode_png):
+        assert np.array_equal(I.decode_image(enc(img)), img)
+    with pytest.raises(NotImplementedError):
+        I.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+    with pytest.raises(ValueError):
+        I.decode_image(b"garbage")
+
+
+def test_ppm_header_with_comments():
+    img = _img(4, 5)
+    raw = b"P6\n# a comment\n5 4\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(I.decode_ppm(raw), img)
+
+
+def test_dhash_format_and_brightness_invariant():
+    img = _img(64, 64, seed=9)
+    h0 = I.dhash64(img)
+    for enc in (I.encode_ppm, I.encode_bmp, I.encode_png):
+        assert I.dhash64(I.decode_image(enc(img))) == h0
+    brighter = np.clip(img.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    assert _ham(h0, I.dhash64(brighter)) <= 2  # comparison-based: ~invariant
+
+
+def test_dhash_scale_normalized_and_discriminative():
+    # structured content (the corpus's regime), not white noise
+    yy, xx = np.mgrid[0:80, 0:60].astype(np.float64)
+    img = np.stack(
+        [128 + 90 * np.sin(yy / 9), 128 + 90 * np.cos(xx / 7), (yy + xx) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    h0 = I.dhash64(img)
+    small = np.stack(
+        [I.resize_area(img[:, :, c].astype(np.float64), 60, 45) for c in range(3)],
+        axis=-1,
+    )
+    small = np.clip(np.round(small), 0, 255).astype(np.uint8)
+    assert _ham(h0, I.dhash64(small)) <= 4
+    other = np.transpose(img, (1, 0, 2)).copy()
+    assert _ham(h0, I.dhash64(other)) > 10
+
+
+def test_resize_area_exact_block_means():
+    g = np.arange(16, dtype=np.float64).reshape(4, 4)
+    out = I.resize_area(g, 2, 2)
+    assert np.allclose(out, [[2.5, 4.5], [10.5, 12.5]])
+    # upsample falls back to nearest (no crash, right shape)
+    up = I.resize_area(g, 8, 8)
+    assert up.shape == (8, 8)

@@ -29,16 +29,59 @@ def test_frame_sample_udtf_shape(spark):
     assert len(pcm) > 0
 
 
-def test_image_features_stub_plumbing(spark):
+def test_image_features_real_decode(spark):
     import pandas as pd
 
+    from kmcp_spark.functions.image import encode_bmp, encode_png, encode_ppm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
     df = spark.createDataFrame(
-        pd.DataFrame({"item_id": ["a", "b"], "bytes": [b"\xff\xd8", b"\x89PNG"]})
+        pd.DataFrame(
+            {
+                "item_id": ["png", "bmp", "ppm", "jpeg", "junk"],
+                "bytes": [
+                    encode_png(img), encode_bmp(img), encode_ppm(img),
+                    b"\xff\xd8\xff\xe0 fake jpeg", b"not an image",
+                ],
+            }
+        )
     )
-    out = image_features(df).toPandas()
-    # stub path: schema + batching real, decode gated off
-    assert list(out.columns) == ["item_id", "width", "height", "mean_luma", "decode_ok"]
-    assert (~out["decode_ok"]).all()
+    out = image_features(df).toPandas().set_index("item_id")
+    assert list(out.columns) == ["width", "height", "mean_luma", "decode_ok"]
+    for fmt in ("png", "bmp", "ppm"):
+        assert out.loc[fmt, "decode_ok"]
+        assert out.loc[fmt, "width"] == 48 and out.loc[fmt, "height"] == 32
+    # lossless containers -> identical pixels -> identical mean luma
+    assert out.loc["png", "mean_luma"] == out.loc["bmp", "mean_luma"] == out.loc["ppm", "mean_luma"]
+    # JPEG (recognized, needs libjpeg) and junk both flow through gated off
+    assert not out.loc["jpeg", "decode_ok"] and not out.loc["junk", "decode_ok"]
+
+
+def test_image_dup_pairs_recovers_planted_clusters(spark):
+    """End-to-end image near-dup: decode -> dHash -> pigeonhole banding
+    -> hamming filter recovers exactly the planted clusters (re-encode,
+    brightness, noise, rescale members), with the I5 near-miss controls
+    and independent images pairing with nothing."""
+    import collections
+
+    from kmcp_spark.corpus import make_image_rows
+    from kmcp_spark.operators.media import image_dup_pairs
+
+    pdf = make_image_rows(np.arange(120))
+    items = spark.createDataFrame(pdf.drop(columns=["cluster_id", "transform"]))
+    got = {(r.a, r.b) for r in image_dup_pairs(items, max_hamming=8).collect()}
+
+    by_cluster = collections.defaultdict(list)
+    for r in pdf.itertuples():
+        by_cluster[r.cluster_id].append(r.item_id)
+    expected = {
+        (a, b)
+        for ids in by_cluster.values()
+        for i, a in enumerate(sorted(ids))
+        for b in sorted(ids)[i + 1 :]
+    }
+    assert got == expected and len(expected) > 0
 
 
 def test_audio_features_bad_codec_rows_flow_through(spark):
