@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kmcp_spark.config import PipelineConfig
 from kmcp_spark.functions.audio import decode_pcm, spectral_tokens
@@ -35,6 +35,7 @@ _AUDIO_SALT = 0xA5D10  # same domain salt as the whole-clip sketch stage
 
 CHUNK_SKETCH_SCHEMA = (
     "clip_id string, chunk_idx int, n_chunks int, size bigint, "
+    "start_frame int, end_frame int, "
     "codes array<bigint>, minhash array<bigint>, decode_ok boolean"
 )
 
@@ -74,6 +75,8 @@ def sketch_clips_chunked(
             ids: list[str] = []
             idxs: list[int] = []
             totals: list[int] = []
+            starts: list[int] = []
+            ends: list[int] = []
             oks: list[bool] = []
             sets: list[np.ndarray] = []
             # list-zip, not iterrows: iterrows builds a pandas Series per
@@ -113,6 +116,8 @@ def sketch_clips_chunked(
                     ids.append(cid)
                     idxs.append(ci)
                     totals.append(len(bounds))
+                    starts.append(s)
+                    ends.append(e)
                     oks.append(ok)
                     sets.append(np.unique(h))
             sig = minhash_signatures(sets, sk.num_perm, sk.master_seed)
@@ -122,6 +127,8 @@ def sketch_clips_chunked(
                     "chunk_idx": np.array(idxs, dtype=np.int32),
                     "n_chunks": np.array(totals, dtype=np.int32),
                     "size": np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets)),
+                    "start_frame": np.array(starts, dtype=np.int32),
+                    "end_frame": np.array(ends, dtype=np.int32),
                     "codes": [s.view(np.int64) for s in sets],
                     "minhash": list(sig.view(np.int64)),
                     "decode_ok": np.array(oks, dtype=bool),
@@ -351,4 +358,83 @@ def depth_dispersion_gate(
         .alias("cluster_id"),
         F.round("rel_depth_std", 6).alias("rel_depth_std"),
         "depth_gate_passed",
+    )
+
+
+def matched_spans(
+    matched_chunks: DataFrame,
+    chunk_sketches: DataFrame,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Merge each pair's matched chunk intervals into contiguous frame
+    spans — the ``kmcp utils merge-regions`` analog
+    (`kmcp/cmd/merge-regions.go:60-67`: overlapping matched regions from
+    sliding-window search collapse into BED spans when they overlap by
+    at least ``--min-overlap``).
+
+    Here the "region" is a matched chunk of the TARGET clip ``b`` (the
+    reference-side coordinate frame, like BED's chrom): each matched
+    (a, b, b_chunk) row becomes the frame interval the chunk geometry
+    assigned to ``b_chunk``, and per (a, b) the intervals are merged
+    into islands whenever the next interval overlaps the running span
+    by >= ``min_overlap`` frames.  Output: one row per contiguous span
+    with its chunk count, plus the pair-level duplicated-coverage
+    fraction (merged frames / target frames — "which part of this clip
+    is duplicated, and how much of it").
+
+    All JVM-side: the island assignment is the classic gaps-and-islands
+    window plan (running max of ``end_frame`` per pair; a new island
+    starts where ``start_frame`` clears the running max minus the
+    overlap), then one groupBy — no UDF, SQL-mirrorable 1:1.
+    """
+    geo = chunk_sketches.select(
+        F.col("clip_id").alias("b"),
+        F.col("chunk_idx").alias("b_chunk"),
+        "start_frame",
+        "end_frame",
+    )
+    iv = (
+        matched_chunks.select("a", "b", "b_chunk")
+        .join(geo, ["b", "b_chunk"])
+        .select("a", "b", "start_frame", "end_frame")
+        .dropDuplicates()
+    )
+    w = Window.partitionBy("a", "b").orderBy("start_frame", "end_frame")
+    prev_max = F.max("end_frame").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    with_isl = (
+        iv.withColumn(
+            "new_island",
+            F.when(
+                prev_max.isNull()
+                | (F.col("start_frame") > prev_max - F.lit(min_overlap)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    spans = with_isl.groupBy("a", "b", "island").agg(
+        F.min("start_frame").alias("span_start"),
+        F.max("end_frame").alias("span_end"),
+        F.count("*").alias("n_chunks_in_span"),
+    )
+    # target frame extent: the chunk layout anchors the last chunk at the
+    # clip end, so max(end_frame) over b's chunks IS its frame count
+    b_frames = chunk_sketches.groupBy(F.col("clip_id").alias("b")).agg(
+        F.max("end_frame").alias("b_frames")
+    )
+    wp = Window.partitionBy("a", "b")
+    return (
+        spans.join(b_frames, "b")
+        .withColumn(
+            "coverage_frac",
+            F.sum(F.col("span_end") - F.col("span_start")).over(wp) / F.col("b_frames"),
+        )
+        .select(
+            "a",
+            "b",
+            "span_start",
+            "span_end",
+            "n_chunks_in_span",
+            F.round("coverage_frac", 6).alias("coverage_frac"),
+        )
     )

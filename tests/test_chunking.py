@@ -187,3 +187,71 @@ def test_depth_dispersion_gate_survives_web_scale_depth_sums(spark):
     # clip a: depth 3.5e9 on BOTH chunks -> perfectly even -> passes
     assert out.loc["a", "depth_gate_passed"]
     assert out.loc["a", "rel_depth_std"] < 1e-9
+
+
+def test_matched_spans_merges_overlapping_intervals(spark):
+    """merge-regions analog: overlapping/adjacent matched chunk
+    intervals collapse into islands; disjoint ones stay separate; the
+    coverage fraction is merged-frames / target-frames."""
+    import pandas as pd
+    from kmcp_spark.operators.chunking import matched_spans
+
+    # target clip B: chunks at [0,20) [15,35) [30,50) [60,80) [75,90)
+    geo = pd.DataFrame(
+        {
+            "clip_id": ["B"] * 5 + ["C"],
+            "chunk_idx": [0, 1, 2, 3, 4, 0],
+            "start_frame": [0, 15, 30, 60, 75, 0],
+            "end_frame": [20, 35, 50, 80, 90, 40],
+        }
+    )
+    sk = spark.createDataFrame(geo)
+    # A matches B's chunks 0,1,2 (one island 0-50), 3,4 (island 60-90);
+    # A matches C's single chunk (trivial island)
+    m = pd.DataFrame(
+        {
+            "a": ["A"] * 5 + ["A"],
+            "b": ["B"] * 5 + ["C"],
+            "b_chunk": [0, 1, 2, 3, 4, 0],
+        }
+    )
+    out = (
+        matched_spans(spark.createDataFrame(m), sk, min_overlap=1)
+        .toPandas()
+        .sort_values(["b", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in out[["b", "span_start", "span_end", "n_chunks_in_span"]].to_numpy()] == [
+        ("B", 0, 50, 3),
+        ("B", 60, 90, 2),
+        ("C", 0, 40, 1),
+    ]
+    # B: (50-0)+(90-60) = 80 of 90 frames; C: 40 of 40
+    covs = dict(zip(out["b"], out["coverage_frac"]))
+    assert abs(covs["B"] - 80 / 90) < 1e-6 and covs["C"] == 1.0
+
+
+def test_matched_spans_min_overlap_gate(spark):
+    """With min_overlap above the actual overlap, touching intervals
+    stay separate islands (kmcp's --min-overlap = k-1 semantics)."""
+    import pandas as pd
+    from kmcp_spark.operators.chunking import matched_spans
+
+    geo = pd.DataFrame(
+        {
+            "clip_id": ["B", "B"],
+            "chunk_idx": [0, 1],
+            "start_frame": [0, 18],
+            "end_frame": [20, 38],
+        }
+    )
+    m = pd.DataFrame({"a": ["A", "A"], "b": ["B", "B"], "b_chunk": [0, 1]})
+    # overlap is 2 frames: min_overlap=2 merges, min_overlap=3 splits
+    merged = matched_spans(
+        spark.createDataFrame(m), spark.createDataFrame(geo), min_overlap=2
+    ).toPandas()
+    assert len(merged) == 1 and merged.iloc[0]["span_end"] == 38
+    split = matched_spans(
+        spark.createDataFrame(m), spark.createDataFrame(geo), min_overlap=3
+    ).toPandas()
+    assert len(split) == 2
