@@ -46,3 +46,32 @@ def test_lcs_substring_case():
     a = "prefix COMMONCHUNK suffix"
     b = "COMMONCHUNK"
     assert suffix_array_lcs(a, b) == len(b)
+
+
+def test_lcs_long_strings_planted_run():
+    """Exercise the vectorized rank-level LCP path on strings far past
+    the doubling early-exit (book-length vs the <100-char brute cases):
+    a planted shared run of known length must be recovered exactly, and
+    the small-alphabet background must not beat it."""
+    rng = np.random.default_rng(99)
+    alpha = "abcdef "
+    bg = lambda m: "".join(alpha[i] for i in rng.integers(0, len(alpha), m))
+    core = bg(1500)
+    a = bg(8000) + core + bg(8000)
+    b = bg(3000) + core + bg(3000)
+    got = suffix_array_lcs(a, b)
+    # background coincidences on a 7-symbol alphabet cap out near
+    # log_7(n^2) ~ 10 chars; the planted run dominates by construction
+    assert got >= 1500
+    assert got < 1500 + 50
+
+
+def test_lcs_medium_random_vs_brute():
+    """Property check at lengths that take several doubling levels
+    (the short random test exits after 1-2 levels)."""
+    rng = np.random.default_rng(21)
+    alpha = "ab"
+    for _ in range(10):
+        a = "".join(alpha[i] for i in rng.integers(0, 2, 300))
+        b = "".join(alpha[i] for i in rng.integers(0, 2, 300))
+        assert suffix_array_lcs(a, b) == brute_lcs(a, b)
