@@ -23,7 +23,7 @@ buckets are also counted into the metrics table (no silent caps).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def band_buckets(sketches: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -81,33 +81,63 @@ def candidate_pairs(
     come from one hash aggregation (min/max), so no per-bucket sort —
     the escalation stays linear even for a 10^7-member bucket.
     """
-    # bucket sizes via ONE hash aggregation (a window over the full
-    # bucket table would recompute per consumer); the sizes relation is
-    # small (#distinct buckets) → broadcast back onto buckets
-    sizes = buckets.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size"),
-        F.min("clip_id").alias("anchor_lo"),
-        F.max("clip_id").alias("anchor_hi"),
+    # ONE shuffle of the bucket table: a whole-partition window over the
+    # band key annotates every member with its bucket's size and min/max
+    # anchors.  The earlier shape (separate sizes aggregation joined back
+    # onto buckets, then a bucket-key self-join) re-derived the band
+    # table 3x and built two broadcast tables per run — measured 2-3 s of
+    # driver-serial work per leg that did not parallelize.  Here both
+    # consumers branch off the SAME exchange (the second branch is a
+    # ReusedExchange over the first's shuffle files).
+    w = Window.partitionBy("band_id", "band_hash")
+    ann = buckets.select(
+        "band_id",
+        "band_hash",
+        "clip_id",
+        F.count("*").over(w).alias("bucket_size"),
+        F.min("clip_id").over(w).alias("anchor_lo"),
+        F.max("clip_id").over(w).alias("anchor_hi"),
     )
-    ok_keys = sizes.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket))
-    oversized = sizes.filter(F.col("bucket_size") > max_bucket)
-    # no broadcast hint: AQE broadcasts when small; at 10^12-row scale the
-    # dup-bucket key set can exceed driver memory, so the shuffle join on
-    # the same key (no extra exchange for `pairs` below) must stay legal
-    ok = buckets.join(ok_keys.select("band_id", "band_hash"), ["band_id", "band_hash"])
+    # pair expansion happens IN-ROW from a collected member array; the
+    # size filter runs BEFORE collect_list so arrays are bounded by
+    # max_bucket (a 10^7-member bucket flows through the window's
+    # spillable sort, never into an in-memory array).  The groupBy keys
+    # match the window partitioning, so no second exchange.
+    grouped = (
+        ann.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket))
+        .groupBy("band_id", "band_hash")
+        .agg(F.collect_list("clip_id").alias("members"))
+    )
     expanded = (
-        ok.alias("l")
-        .join(ok.alias("r"), ["band_id", "band_hash"])
-        .filter(F.col("l.clip_id") < F.col("r.clip_id"))
-        .select(F.col("l.clip_id").alias("a"), F.col("r.clip_id").alias("b"))
+        grouped.select("members", F.posexplode("members").alias("i", "ca"))
+        .select(
+            "ca",
+            F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("cb"),
+        )
+        .select(F.least("ca", "cb").alias("a"), F.greatest("ca", "cb").alias("b"))
     )
-    # escalation edges: member -> {min, max} anchor of its oversized bucket
-    over_members = buckets.join(
-        oversized.select("band_id", "band_hash", "anchor_lo", "anchor_hi"),
-        ["band_id", "band_hash"],
+    # escalation edges: member -> {min, max} anchor of its oversized
+    # bucket — a narrow select off the annotated rows, no join.  The
+    # oversized member rows are persisted (deferred-release protocol,
+    # runtime.py: the next candidate_pairs call or the pipeline's
+    # end-of-run sweep releases them) so that the caller's follow-up
+    # oversized count is a cache read instead of a second full band
+    # derivation (measured ~1.4 s/leg).  Bounded by actual skew: only
+    # members of >max_bucket buckets land here (none on a healthy
+    # corpus), and MEMORY_AND_DISK spills if a pathological one floods.
+    from pyspark import StorageLevel
+
+    from kmcp_spark.runtime import defer_unpersist, release_deferred
+
+    release_deferred(tag="lsh")
+    over_rel = defer_unpersist(
+        ann.filter(F.col("bucket_size") > max_bucket).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
+        tag="lsh",
     )
     escalated = (
-        over_members.select(
+        over_rel.select(
             "clip_id", F.explode(F.array("anchor_lo", "anchor_hi")).alias("anchor")
         )
         .filter(F.col("clip_id") != F.col("anchor"))
@@ -121,4 +151,7 @@ def candidate_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("shared_bands"))
     )
-    return pairs, oversized.drop("anchor_lo", "anchor_hi")
+    oversized = (
+        over_rel.select("band_id", "band_hash", "bucket_size").distinct()
+    )
+    return pairs, oversized

@@ -39,23 +39,30 @@ def unpersist_ids(sc, ids: set[int]) -> None:
 # every query's.  Unpersisting a .persist() cache is always safe: a
 # consumer that runs afterwards simply recomputes.
 
-_DEFERRED: list = []
+_DEFERRED: list = []  # (tag, df) pairs
 
 
-def defer_unpersist(df):
+def defer_unpersist(df, tag: str = "doc"):
     """Register an operator-internal cached DataFrame for deferred
     release; returns ``df`` for chaining.  Only .persist() caches may be
     registered — never localCheckpoints (whose blocks are required for
-    correctness once lineage is truncated)."""
-    _DEFERRED.append(df)
+    correctness once lineage is truncated).  ``tag`` namespaces the
+    registry so unrelated operator families (document dedup vs the LSH
+    pair stage) sweep only their own caches."""
+    _DEFERRED.append((tag, df))
     return df
 
 
-def release_deferred() -> int:
-    """Unpersist every registered internal cache; returns how many."""
+def release_deferred(tag: str | None = None) -> int:
+    """Unpersist registered internal caches — all of them, or only those
+    registered under ``tag``; returns how many were released."""
     global _DEFERRED
-    pending, _DEFERRED = _DEFERRED, []
-    for df in pending:
+    if tag is None:
+        pending, _DEFERRED = _DEFERRED, []
+    else:
+        pending = [e for e in _DEFERRED if e[0] == tag]
+        _DEFERRED = [e for e in _DEFERRED if e[0] != tag]
+    for _, df in pending:
         try:
             df.unpersist(False)
         except Exception:
