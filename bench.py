@@ -318,11 +318,13 @@ def bench_scaling(cores_hi: int, n_clips: int, rounds: int = 3, max_extra: int =
     Methodology (drift defenses, in response to the r1 host-noise
     artifact): legs are INTERLEAVED (N, 4N, N, 4N, ...) so slow host
     windows hit both core counts equally; each leg is a fresh JVM that
-    pre-reads the corpus into page cache, warms python workers/JIT with
-    one pipeline pass over a 1/8 sample, then times ONE full pass; the
-    headline figure is the median leg per core count; samples implying
-    super-linear efficiency (> 1.05) are physically impossible here and
-    trigger extra rounds instead of being reported.
+    pre-reads the corpus into page cache, runs one full-size warmup
+    pass (AQE finalizes plans from runtime stats, so only a same-size
+    pass pre-compiles the plans the timed pass will run — see
+    pipeline_run), then times the second full pass; the headline figure
+    is the median leg per core count; samples implying super-linear
+    efficiency (> 1.05) are physically impossible here and trigger
+    extra rounds instead of being reported.
 
     Deadline-aware: stops adding rounds (and shortens the pre-flight
     bus-health wait) when the SPARK_GRAFT_BENCH_DEADLINE_SEC budget

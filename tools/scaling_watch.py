@@ -65,9 +65,19 @@ def main() -> None:
             if res is not None:
                 with open(OUT, "a") as f:
                     f.write(json.dumps(res) + "\n")
+                # bench.py diverts wall samples / per-round stage walls /
+                # host probes to BENCH/bench_side.json and overwrites it
+                # per run — archive each run's copy so the campaign
+                # tables keep their per-round evidence
+                side = os.path.join(REPO, "BENCH", "bench_side.json")
+                if os.path.exists(side):
+                    import shutil
+
+                    shutil.copy(side, side.replace(".json", f"_{int(time.time())}.json"))
                 eff = res.get("scaling_efficiency", -1)
                 valid = res.get("scaling_window_valid", False)
-                log(f"run {runs}: eff={eff} min_legs="
+                log(f"run {runs}: eff={eff} best_round="
+                    f"{res.get('scaling_efficiency_best_round')} min_legs="
                     f"{res.get('scaling_efficiency_min_legs')} valid={valid}")
                 if valid and eff >= target:
                     log("target met — done")
