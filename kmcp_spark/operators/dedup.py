@@ -37,6 +37,7 @@ from kmcp_spark.functions.shingle import (
     word_symbols,
 )
 from kmcp_spark.functions.simhash import simhash64
+from kmcp_spark.runtime import widen_narrow_scan
 
 
 def exact_dup_groups(docs: DataFrame, only_dups: bool = False) -> DataFrame:
@@ -140,8 +141,11 @@ def _gram_tables(docs: DataFrame, n: int, max_gram_docs: int):
 
     # sweep the previous query's internal caches (deferred-release
     # protocol, runtime.py): without this a long-lived session running
-    # many document queries accumulates every query's gram relations
-    release_deferred()
+    # many document queries accumulates every query's gram relations.
+    # Scoped to tag="doc" so the lsh-tagged oversized-bucket cache
+    # registered by candidate_pairs (operators/lsh.py) survives an
+    # interleaved document-dedup call.
+    release_deferred(tag="doc")
     g = defer_unpersist(
         word_ngrams_df(docs, n)
         .select("doc_id", F.xxhash64("gram").alias("gram"))
@@ -194,14 +198,7 @@ def doc_signatures(
                 cols["gram_h"] = [s.astype(np.uint64).view(np.int64) for s in sets]
             yield pd.DataFrame(cols)
 
-    src = docs.select("doc_id", "text")
-    # a small parquet scan arrives as ONE partition, which would run the
-    # whole signature kernel on one core; widen it to the cluster's
-    # parallelism (a 100-TB scan already has >> defaultParallelism
-    # partitions and is left untouched — no extra shuffle at scale)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = widen_narrow_scan(docs.select("doc_id", "text"))
     schema = _SIG_SCHEMA + (", gram_h array<bigint>" if with_gram_hashes else "")
     return src.mapInPandas(run, schema=schema)
 
@@ -296,7 +293,7 @@ def minhash_lsh_dup_pairs(
 
     from kmcp_spark.runtime import defer_unpersist, release_deferred
 
-    release_deferred()  # sweep the previous query's internal caches
+    release_deferred(tag="doc")  # sweep prior doc-query caches only
     # ONE pass over the text: the signature kernel also emits the
     # distinct gram-hash set, and that single persisted relation feeds
     # both the banding (doc_id + minhash only — gram arrays never enter
@@ -481,10 +478,7 @@ def multi_doc_signatures(
                     }
                 )
 
-    src = docs.select("doc_id", "text")
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = widen_narrow_scan(docs.select("doc_id", "text"))
     return src.mapInPandas(run, schema=_MULTI_SIG_SCHEMA)
 
 
@@ -515,7 +509,7 @@ def multi_k_dup_pairs(
 
     from kmcp_spark.runtime import defer_unpersist, release_deferred
 
-    release_deferred()  # sweep the previous query's internal caches
+    release_deferred(tag="doc")  # sweep prior doc-query caches only
     msigs = defer_unpersist(
         multi_doc_signatures(docs, tuple(sorted(ks, reverse=True)), num_perm=num_perm)
         .filter(F.col("n_grams") > 0)

@@ -114,6 +114,11 @@ def candidate_pairs(
             "ca",
             F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("cb"),
         )
+        # a clip_id can appear twice in one bucket (e.g. streaming unions
+        # bands_new with prior band tables and a clip is re-delivered);
+        # the old self-join's strict l.clip_id < r.clip_id dropped the
+        # resulting (a,a) rows, so the in-row expansion must too.
+        .filter(F.col("ca") != F.col("cb"))
         .select(F.least("ca", "cb").alias("a"), F.greatest("ca", "cb").alias("b"))
     )
     # escalation edges: member -> {min, max} anchor of its oversized

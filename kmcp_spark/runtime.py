@@ -42,6 +42,25 @@ def unpersist_ids(sc, ids: set[int]) -> None:
 _DEFERRED: list = []  # (tag, df) pairs
 
 
+def widen_narrow_scan(df):
+    """Repartition a relation UP to the cluster's default parallelism if
+    (and only if) it arrives narrower — a small parquet fixture lands as
+    one partition, which would run a whole mapInPandas kernel on one
+    core.  A 100-TB scan already has >> defaultParallelism partitions
+    and flows through untouched: no shuffle is ever added at scale.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) costs one
+    extra driver-side physical planning of the scan — no job runs.  For
+    a leaf parquet scan that is single-digit milliseconds; accepted in
+    exchange for keeping the decision correct for ANY input relation
+    (paths, pre-shuffled upstreams, in-memory fixtures) instead of
+    guessing from file listings."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if par > 1 and df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def defer_unpersist(df, tag: str = "doc"):
     """Register an operator-internal cached DataFrame for deferred
     release; returns ``df`` for chaining.  Only .persist() caches may be
