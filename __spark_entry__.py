@@ -41,26 +41,24 @@ def _sflabel(sf_dir: str) -> str:
 
 def _write_aux(df: DataFrame, name: str, sort_cols: list[str]) -> str:
     """Stage a small kernel-output table at a DETERMINISTIC path
-    (<name>/data.parquet): Spark's native UUID part names would register
-    as new files on every run, leaving the work tree dirty after each
-    bench even when the bytes are identical.  Writing to a temp dir and
-    renaming the single sorted part file makes repeat runs with
-    unchanged data byte-idempotent (the rename is skipped when the
-    staged bytes already match, so even mtimes stay put)."""
+    (<name>/data.parquet) with DETERMINISTIC bytes.
+
+    Spark's native parquet writer emits UUID part names and (observed)
+    byte-different files for identical content, so every bench run would
+    leave the work tree dirty.  Aux tables are small by design (kernel
+    outputs over fixtures, <=5k rows), so collect via Arrow, sort by the
+    key columns driver-side, and write one file with pyarrow — the same
+    content always produces the same bytes, and when the staged file
+    already matches it is left untouched (mtimes included)."""
     import shutil
 
+    import pyarrow.parquet as pq
+
     path = os.path.join(_AUX_DIR, name)
-    tmp = path + "__tmp"
-    (
-        df.repartition(1)
-        .sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-    assert len(parts) == 1, f"expected one part file in {tmp}, got {parts}"
-    src = os.path.join(tmp, parts[0])
-    dest = os.path.join(path, "data.parquet")
+    tbl = df.toArrow().sort_by([(c, "ascending") for c in sort_cols])
+    # strip the pandas/Spark schema metadata blob: it can embed
+    # plan-dependent field ids while the data is identical
+    tbl = tbl.replace_schema_metadata(None)
     os.makedirs(path, exist_ok=True)
     # sweep any stale pre-deterministic-layout files (old UUID parts,
     # _SUCCESS markers) so the directory holds exactly one file
@@ -68,13 +66,17 @@ def _write_aux(df: DataFrame, name: str, sort_cols: list[str]) -> str:
         fp = os.path.join(path, f)
         if f != "data.parquet":
             shutil.rmtree(fp) if os.path.isdir(fp) else os.remove(fp)
+    dest = os.path.join(path, "data.parquet")
+    tmp = dest + ".tmp"
+    pq.write_table(tbl, tmp, compression="snappy")
     same = False
-    if os.path.exists(dest) and os.path.getsize(dest) == os.path.getsize(src):
-        with open(dest, "rb") as a, open(src, "rb") as b:
+    if os.path.exists(dest) and os.path.getsize(dest) == os.path.getsize(tmp):
+        with open(dest, "rb") as a, open(tmp, "rb") as b:
             same = a.read() == b.read()
-    if not same:
-        os.replace(src, dest)
-    shutil.rmtree(tmp)
+    if same:
+        os.remove(tmp)
+    else:
+        os.replace(tmp, dest)
     return path
 
 
@@ -191,6 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_depth_gate": _clips_depth_gate,
         "clips_recall_precision": _clips_recall_precision,
         "clips_cc_loop": _clips_cc_loop,
+        # streaming parity: the availableNow-drained incremental stream
+        # must flag EXACTLY the batch pipeline's verified pair set; the
+        # oracle re-derives that set (with re-scored n_common/
+        # containment/jaccard) from the staged batch tables.
+        "clips_streaming_flags": _clips_streaming_flags,
     }
 
 
@@ -415,6 +422,58 @@ def _clips_recall_precision(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
             F.round(F.col("n_hit") / F.col("n_pred"), 6).alias("precision"),
         )
+    )
+
+
+def _clips_streaming_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming/batch parity (the search-against-prebuilt-index model,
+    kmcp's own query shape, `kmcp/cmd/util-db-search.go:763-1025`): drop
+    the 80-clip fixture as 24 files, drain ``streaming_neardup_flags``
+    with availableNow (maxFilesPerTrigger=8 → 3 micro-batches, so
+    cross-batch pairs must come from the persisted index), and return
+    the accumulated flags.  The oracle knows nothing of the stream: it
+    re-derives the expected pair set from the BATCH pipeline's staged
+    sketch/verified tables — a green row proves the incremental stream
+    discovers exactly the batch answer, scores included."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kmcp_spark.streaming.dedup import streaming_neardup_flags
+
+    clips, truth, sk, verified = _clips_verified(spark)
+    # stage the batch answer for the oracle (idempotent re-stage; makes
+    # this query independent of clips_dup_pairs having run first)
+    _write_aux(
+        sk.select("clip_id", "codes_text", "codes_audio", "size"),
+        "clips_sketches",
+        ["clip_id"],
+    )
+    _write_aux(
+        verified.select("a", "b", "shared_bands", "lcs_len"),
+        "clips_verified",
+        ["a", "b"],
+    )
+    base = os.path.join(_FIXTURE_DIR, "stream_run")
+    shutil.rmtree(base, ignore_errors=True)  # fresh lineage every run
+    drop = os.path.join(base, "drop")
+    clips.repartition(24).write.mode("overwrite").parquet(drop)
+    streaming_neardup_flags(
+        spark,
+        drop,
+        os.path.join(base, "index"),
+        os.path.join(base, "flags"),
+        os.path.join(base, "ckpt"),
+        available_now=True,
+    )
+    return spark.read.parquet(os.path.join(base, "flags")).select(
+        "a",
+        "b",
+        "shared_bands",
+        "n_common",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+        "lcs_len",
     )
 
 
@@ -1045,6 +1104,32 @@ def oracle_sql() -> dict[str, str]:
                    (tp.a IS NOT NULL) AS is_true_dup
             FROM scored s
             LEFT JOIN tp ON tp.a = s.a AND tp.b = s.b
+        """,
+        # clips_streaming_flags: the STREAM's accumulated flags (Spark
+        # side) must equal the BATCH pipeline's verified pair set; the
+        # oracle re-derives that set from the staged batch tables,
+        # re-scoring n_common/containment/jaccard from the sketch codes
+        # exactly as in clips_dup_pairs.
+        "clips_streaming_flags": f"""
+            WITH sk AS (SELECT * FROM read_parquet('{_aux_glob("clips_sketches")}')),
+            vp AS (SELECT * FROM read_parquet('{_aux_glob("clips_verified")}'))
+            SELECT vp.a, vp.b, vp.shared_bands,
+                   CAST(len(list_intersect(sa.codes_text, sb.codes_text))
+                     + len(list_intersect(sa.codes_audio, sb.codes_audio)) AS INT)
+                     AS n_common,
+                   round((len(list_intersect(sa.codes_text, sb.codes_text))
+                     + len(list_intersect(sa.codes_audio, sb.codes_audio))) * 1.0
+                     / least(sa.size, sb.size), 6) AS containment,
+                   round((len(list_intersect(sa.codes_text, sb.codes_text))
+                     + len(list_intersect(sa.codes_audio, sb.codes_audio))) * 1.0
+                     / (sa.size + sb.size
+                        - len(list_intersect(sa.codes_text, sb.codes_text))
+                        - len(list_intersect(sa.codes_audio, sb.codes_audio))), 6)
+                     AS jaccard,
+                   vp.lcs_len
+            FROM vp
+            JOIN sk sa ON sa.clip_id = vp.a
+            JOIN sk sb ON sb.clip_id = vp.b
         """,
         # clips_recall_precision: the pipeline's predicted dup pairs and
         # the planted truth pairs are staged; DuckDB re-derives the

@@ -251,3 +251,19 @@ def test_matched_chunk_frac_counts_smaller_side(spark):
     assert r.n_matched_chunks == 3
     assert 0.0 < r.matched_chunk_frac <= 1.0
     assert abs(r.matched_chunk_frac - 1.0) < 1e-12
+
+
+def test_duplicate_band_rows_emit_no_self_pairs(spark):
+    """A clip_id delivered twice into the same bucket (streaming unions
+    bands_new with prior band tables on a re-delivered clip) must not
+    produce an (a,a) self-pair — the old self-join's strict
+    l.clip_id < r.clip_id semantics."""
+    buckets = spark.createDataFrame(
+        [("c1", 0, 99), ("c1", 0, 99), ("c2", 0, 99)],
+        "clip_id string, band_id int, band_hash bigint",
+    )
+    pairs, _ = candidate_pairs(buckets, max_bucket=10)
+    got = {(r.a, r.b): r.shared_bands for r in pairs.collect()}
+    assert all(a != b for a, b in got)
+    # the real pair survives (counted twice: c1 appears in 2 band rows)
+    assert ("c1", "c2") in got
