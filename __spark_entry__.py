@@ -179,6 +179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernel's output is staged as an aux table and the pigeonhole
         # banding + hamming plan is oracle-checked from it, exactly like
         # dedup_simhash) ---
+        # --- cap semantics under planted skew (the hot-gram cap and the
+        # LSH bucket cap/escalation never fire on the healthy sf tables,
+        # so these plant degenerate classes where they MUST fire and
+        # hash-check the capped/escalated output against a SQL mirror
+        # of the caps; kmcp precedent: oversized-block escalation,
+        # kmcp/cmd/index.go:787-894) ---
+        "dedup_skew_caps": _dedup_skew_caps,
+        "lsh_bucket_skew": _lsh_bucket_skew,
         "image_dup_pairs": _image_dup_pairs,
         # --- the clip pipeline itself, driven on a deterministic
         # synthetic corpus (input_hint schema).  The audio kernels have
@@ -217,6 +225,103 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash_pairs_from_sigs(
         spark.read.parquet(path), max_hamming=8, n_bands=9
     )
+
+
+_SKEW_GRAM_CAP = 50
+_SKEW_BUCKET_CAP = 20
+
+
+def _dedup_skew_caps(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-gram cap semantics (``max_gram_docs``, operators/dedup.py
+    ``_gram_tables``): plant a 60-doc boilerplate class (> cap 50) and a
+    5-doc class (< cap) alongside the natural documents, run the SAME
+    ``ngram_jaccard_pairs`` operator uncapped and capped, and emit per
+    raw pair whether the cap dropped it and with what capped n_common.
+    The planted hot class's pairs MUST all drop (their only shared grams
+    are the boilerplate ones, df=60 > 50) while the small class
+    survives; ``n_hot_grams`` (count of capped-out grams, nonzero) rides
+    on every row so the firing itself is hash-checked."""
+    from pyspark.sql import functions as F
+
+    from kmcp_spark.corpus import skew_doc_rows
+
+    planted = spark.createDataFrame(
+        skew_doc_rows(unique_tails=True), schema="doc_id bigint, text string"
+    )
+    _write_aux(planted, "skew_docs", ["doc_id"])
+    docs = _t(spark, sf, "documents").select("doc_id", "text").unionByName(planted)
+    raw = D.ngram_jaccard_pairs(docs, n=3, threshold=0.4, max_gram_docs=1_000_000_000)
+    capped = D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.4, max_gram_docs=_SKEW_GRAM_CAP
+    )
+    n_hot = (
+        D.word_ngrams_df(docs, 3)
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SKEW_GRAM_CAP)
+        .agg(F.count("*").alias("n_hot_grams"))
+    )
+    return (
+        raw.select(
+            "a",
+            "b",
+            F.col("n_common").alias("n_common_raw"),
+            F.round("jaccard", 6).alias("jaccard_raw"),
+        )
+        .join(
+            capped.select("a", "b", F.col("n_common").alias("n_common_capped")),
+            ["a", "b"],
+            "left",
+        )
+        .withColumn("dropped_by_cap", F.col("n_common_capped").isNull())
+        .crossJoin(n_hot)
+    )
+
+
+def _lsh_bucket_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH bucket-cap semantics over a planted oversized bucket: a
+    60-doc byte-identical class lands in ONE bucket per band (> cap 20),
+    a 5-doc class stays under it.  The band relation is staged as an aux
+    table (the xxhash64 banding is not SQL-expressible; everything after
+    it is) and BOTH cap behaviors run from that same relation:
+
+      path='drop'      document-path ``pairs_from_band_rows`` — oversized
+                       buckets are dropped outright;
+      path='escalate'  pipeline-path ``candidate_pairs`` — oversized
+                       buckets emit O(size) min/max anchor edges instead
+                       (kmcp's escalation, kmcp/cmd/index.go:787-894).
+
+    ``n_oversized_buckets`` (nonzero — 64 bands x 1 giant bucket) rides
+    on every row, so the oracle hash-checks that the caps FIRED, not
+    just that the output is safe."""
+    from pyspark.sql import functions as F
+
+    from kmcp_spark.corpus import skew_doc_rows
+    from kmcp_spark.operators.lsh import candidate_pairs
+
+    planted = spark.createDataFrame(
+        skew_doc_rows(unique_tails=False), schema="doc_id bigint, text string"
+    )
+    nat = _t(spark, sf, "documents").select("doc_id", "text").orderBy("doc_id").limit(30)
+    sigs = D.doc_signatures(planted.unionByName(nat), n=3, num_perm=128).filter(
+        F.col("n_grams") > 0
+    )
+    path = _write_aux(
+        D.doc_band_rows(sigs, bands=64, rows_per_band=2),
+        f"skew_bands_{_sflabel(sf)}",
+        ["doc_id", "band_id"],
+    )
+    rel = spark.read.parquet(path)
+    drop = D.pairs_from_band_rows(rel, _SKEW_BUCKET_CAP).withColumn(
+        "path", F.lit("drop")
+    )
+    esc, oversized = candidate_pairs(
+        rel.withColumnRenamed("doc_id", "clip_id"), _SKEW_BUCKET_CAP
+    )
+    esc = esc.withColumn("path", F.lit("escalate"))
+    n_over = oversized.agg(F.count("*").alias("n_oversized_buckets"))
+    cols = ["path", "a", "b", "shared_bands"]
+    return drop.select(*cols).unionByName(esc.select(*cols)).crossJoin(n_over)
 
 
 _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_fixtures")
@@ -1079,6 +1184,98 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE n_common / least(sa.n_grams, sb.n_grams) >= 0.6
+        """,
+        # dedup_skew_caps: DuckDB rebuilds the gram relation over
+        # documents ∪ the staged planted slice, applies the SAME
+        # max_gram_docs cap (df <= 50), and re-derives both the uncapped
+        # and capped pair sets + the count of capped-out grams.
+        "dedup_skew_caps": f"""
+            WITH alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id, text FROM read_parquet('{_aux_glob("skew_docs")}')
+            ),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM alldocs),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                           for i in range(1, len(ws) - 1)])) AS gram
+              FROM w WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            freq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+            nhot AS (SELECT count(*) AS n_hot_grams FROM freq WHERE df > {_SKEW_GRAM_CAP}),
+            praw AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+              FROM g l JOIN g r USING (gram)
+              WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+            ),
+            rawp AS (
+              SELECT a, b, n_common,
+                     n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) AS jac
+              FROM praw JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.4
+            ),
+            gok AS (SELECT g.* FROM g JOIN freq USING (gram) WHERE df <= {_SKEW_GRAM_CAP}),
+            pcap AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+              FROM gok l JOIN gok r USING (gram)
+              WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+            ),
+            capp AS (
+              SELECT a, b, p.n_common
+              FROM pcap p JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE p.n_common * 1.0 / (sa.n_grams + sb.n_grams - p.n_common) >= 0.4
+            )
+            SELECT r.a, r.b, r.n_common AS n_common_raw, round(r.jac, 6) AS jaccard_raw,
+                   c.n_common AS n_common_capped,
+                   (c.a IS NULL) AS dropped_by_cap,
+                   n_hot_grams
+            FROM rawp r LEFT JOIN capp c USING (a, b) CROSS JOIN nhot
+        """,
+        # lsh_bucket_skew: from the STAGED band relation DuckDB mirrors
+        # both cap behaviors — drop (buckets 2..cap expand, >cap vanish)
+        # and escalate (>cap buckets emit min/max anchor edges) — plus
+        # the oversized-bucket count.
+        "lsh_bucket_skew": f"""
+            WITH b AS (SELECT * FROM read_parquet('{_aux_glob("skew_bands_" + _oracle_sf())}')),
+            sz AS (
+              SELECT band_id, band_hash, count(*) AS c,
+                     min(doc_id) AS lo, max(doc_id) AS hi
+              FROM b GROUP BY 1, 2
+            ),
+            n_over AS (SELECT count(*) AS n_oversized_buckets FROM sz WHERE c > {_SKEW_BUCKET_CAP}),
+            ok AS (
+              SELECT b.doc_id, b.band_id, b.band_hash
+              FROM b JOIN sz USING (band_id, band_hash)
+              WHERE c BETWEEN 2 AND {_SKEW_BUCKET_CAP}
+            ),
+            small_pairs AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM ok l JOIN ok r USING (band_id, band_hash)
+              WHERE l.doc_id < r.doc_id
+            ),
+            esc_edges AS (
+              SELECT least(b.doc_id, sz.lo) AS a, greatest(b.doc_id, sz.lo) AS b
+              FROM b JOIN sz USING (band_id, band_hash)
+              WHERE sz.c > {_SKEW_BUCKET_CAP} AND b.doc_id <> sz.lo
+              UNION ALL
+              SELECT least(b.doc_id, sz.hi), greatest(b.doc_id, sz.hi)
+              FROM b JOIN sz USING (band_id, band_hash)
+              WHERE sz.c > {_SKEW_BUCKET_CAP} AND b.doc_id <> sz.hi
+            ),
+            drop_pairs AS (
+              SELECT 'drop' AS path, a, b, count(*) AS shared_bands
+              FROM small_pairs GROUP BY a, b
+            ),
+            esc_pairs AS (
+              SELECT 'escalate' AS path, a, b, count(*) AS shared_bands
+              FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM esc_edges)
+              GROUP BY a, b
+            )
+            SELECT path, a, b, shared_bands, n_oversized_buckets
+            FROM (SELECT * FROM drop_pairs UNION ALL SELECT * FROM esc_pairs)
+            CROSS JOIN n_over
         """,
         # clips_dup_pairs: DuckDB re-scores every verified pair from the
         # staged sketch codes (n_common/containment/jaccard recomputed

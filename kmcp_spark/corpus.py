@@ -342,3 +342,38 @@ def generate_images(spark, n: int, master_seed: int = 42, partitions: int | None
     images = full.select("item_id", "bytes", "fmt", "width", "height")
     truth = full.select("item_id", "cluster_id", "transform")
     return images, truth
+
+
+# ---------------------------------------------------------------- skew docs
+# Deterministic DEGENERATE document slice for cap-semantics checks: the
+# hot-gram cap (operators/dedup.py `_gram_tables` max_gram_docs) and the
+# LSH bucket cap / escalation (`pairs_from_band_rows` drop,
+# `operators/lsh.py::candidate_pairs` anchor escalation — kmcp's
+# oversized-block escalation, `kmcp/cmd/index.go:787-894`) never fire on
+# the healthy sf fixtures, so these rows plant corpora where they MUST:
+# a boilerplate class larger than the cap and a small class under it.
+
+def skew_doc_rows(
+    n_hot: int = 60, n_small: int = 5, unique_tails: bool = True
+) -> pd.DataFrame:
+    """(doc_id, text) rows: ``n_hot`` docs sharing a 40-word boilerplate
+    paragraph (ids 9_000_000+i) and ``n_small`` docs sharing a different
+    one (ids 9_100_000+i).
+
+    ``unique_tails=True`` appends four doc-unique words so within-class
+    docs are near- but not byte-identical (the gram-cap shape: shared
+    grams are exactly the boilerplate-internal ones, so capping the hot
+    gram drops the pairs entirely while the small class survives).
+    ``unique_tails=False`` keeps each class byte-identical (the
+    bucket-cap shape: identical MinHash signatures put the whole class
+    in ONE bucket per band, deterministically oversized)."""
+    boiler_hot = " ".join(f"boiler{j:02d}" for j in range(40))
+    boiler_small = " ".join(f"smallb{j:02d}" for j in range(40))
+    recs = []
+    for i in range(n_hot):
+        tail = f" tailxa{i:04d} tailxb{i:04d} tailxc{i:04d} tailxd{i:04d}" if unique_tails else ""
+        recs.append((9_000_000 + i, boiler_hot + tail))
+    for i in range(n_small):
+        tail = f" tailya{i:04d} tailyb{i:04d} tailyc{i:04d} tailyd{i:04d}" if unique_tails else ""
+        recs.append((9_100_000 + i, boiler_small + tail))
+    return pd.DataFrame.from_records(recs, columns=["doc_id", "text"])

@@ -227,6 +227,18 @@ def lsh_candidates(
     removed by the exact-dedup short-circuit upstream; the pipeline
     variant keeps the join-based escalation precisely because it never
     materializes bucket membership."""
+    return pairs_from_band_rows(
+        doc_band_rows(signatures, bands, rows_per_band), max_bucket
+    )
+
+
+def doc_band_rows(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) band relation from minhash
+    signatures — the shared front half of ``lsh_candidates``, exposed so
+    the cap-semantics oracle can STAGE the band relation and have DuckDB
+    mirror everything downstream of the (non-SQL) xxhash64 banding."""
     band_structs = F.array(
         *[
             F.struct(
@@ -239,9 +251,17 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
+    return signatures.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def pairs_from_band_rows(band_rows: DataFrame, max_bucket: int) -> DataFrame:
+    """Back half of ``lsh_candidates``: bucket by (band_id, band_hash),
+    DROP buckets above ``max_bucket``, expand i<j pairs in-row, count
+    shared bands."""
     members = (
-        signatures.select("doc_id", F.explode(band_structs).alias("band"))
-        .groupBy("band.band_id", "band.band_hash")
+        band_rows.groupBy("band_id", "band_hash")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )

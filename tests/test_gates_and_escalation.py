@@ -267,3 +267,37 @@ def test_duplicate_band_rows_emit_no_self_pairs(spark):
     assert all(a != b for a, b in got)
     # the real pair survives (counted twice: c1 appears in 2 band rows)
     assert ("c1", "c2") in got
+
+
+def test_skew_cap_queries_fire_caps(spark):
+    """The planted degenerate corpora must actually TRIP the caps: the
+    hot-gram cap drops the boilerplate class's pairs, and the LSH bucket
+    cap marks 64 oversized buckets whose escalation emits O(size) anchor
+    edges, not O(size^2) expansion."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    caps = e.queries()["dedup_skew_caps"](spark, sf)
+    agg = caps.agg(
+        F.sum(F.col("dropped_by_cap").cast("int")).alias("n_dropped"),
+        F.max("n_hot_grams").alias("n_hot"),
+    ).first()
+    assert agg.n_dropped == 60 * 59 // 2  # every hot-class pair dropped
+    assert agg.n_hot == 38  # the boilerplate-internal grams
+
+    skew = e.queries()["lsh_bucket_skew"](spark, sf).persist()
+    assert skew.agg(F.max("n_oversized_buckets")).first()[0] == 64
+    planted_esc = skew.filter(
+        (F.col("path") == "escalate") & (F.col("a") >= 9_000_000) & (F.col("b") < 9_100_000)
+    )
+    # anchor escalation: 2*(60-1)-1 = 117 pairs, NOT C(60,2) = 1770
+    assert planted_esc.count() == 117
+    # drop path: the giant class contributes nothing
+    assert (
+        skew.filter(
+            (F.col("path") == "drop") & (F.col("a") >= 9_000_000) & (F.col("b") < 9_100_000)
+        ).count()
+        == 0
+    )
+    skew.unpersist()
