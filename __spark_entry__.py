@@ -329,13 +329,15 @@ _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_fixtur
 
 def _images_corpus(spark: SparkSession, n: int = 120) -> DataFrame:
     """Write-once parquet fixture of the deterministic synthetic image
-    corpus (real PNG/BMP/PPM bytes, planted near-dup clusters — see
-    ``kmcp_spark.corpus.make_image_rows``)."""
+    corpus (real PNG/BMP/PPM/baseline-JPEG bytes, planted near-dup
+    clusters — see ``kmcp_spark.corpus.make_image_rows``).  The ``v2``
+    suffix versions the cache: v2 added jpg as a fourth container
+    format (``functions/jpeg.py``)."""
     import json
 
     from kmcp_spark.corpus import generate_images
 
-    base = os.path.join(_FIXTURE_DIR, f"images{n}")
+    base = os.path.join(_FIXTURE_DIR, f"images{n}v2")
     marker = os.path.join(base, "_done.json")
     if not os.path.exists(marker):
         images, truth = generate_images(spark, n, partitions=8)

@@ -80,14 +80,15 @@ def emit(result: dict, phase: str) -> None:
     result["phase"] = phase
     result["bench_wall_sec"] = round(time.time() - T0, 1)
     side = {k: result.pop(k) for k in _SIDE_KEYS if k in result}
-    line = json.dumps(result)
+    compact = dict(separators=(",", ":"))  # no spaces: ~2 chars/key headroom
+    line = json.dumps(result, **compact)
     if len(line) > LINE_BUDGET:
         # progressive shrink, cheapest information first
         log(f"emit: line {len(line)} chars > {LINE_BUDGET}, shrinking")
         if "scaling_error" in result:
             result["scaling_error"] = result["scaling_error"][:120]
         result["queries"] = {k: round(v, 1) for k, v in result.get("queries", {}).items()}
-        line = json.dumps(result)
+        line = json.dumps(result, **compact)
     if len(line) > LINE_BUDGET:
         # divert secondary scaling figures too; the contract core
         # (metric/value/unit/queries/sf/scaling_efficiency/
@@ -96,7 +97,16 @@ def emit(result: dict, phase: str) -> None:
                   "min_stream_gbps", "clips_per_sec_n", "wall_sec_n", "wall_sec_4n"):
             if k in result:
                 side[k] = result.pop(k)
-        line = json.dumps(result)
+        line = json.dumps(result, **compact)
+    if len(line) > LINE_BUDGET:
+        # last resort: keep the slowest queries on the line, divert the
+        # full per-query dict to the side file, and say how many dropped
+        qs = result.get("queries", {})
+        keep = dict(sorted(qs.items(), key=lambda kv: -kv[1])[:25])
+        side["queries_full"] = qs
+        result["queries"] = keep
+        result["queries_dropped"] = len(qs) - len(keep)
+        line = json.dumps(result, **compact)
     _BEST = result
     print(line, flush=True)
     # belt-and-braces: the same line lands in a file, so the artifact

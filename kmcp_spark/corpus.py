@@ -221,12 +221,14 @@ def generate_clips(spark, n: int, master_seed: int = 42,
 
 # ------------------------------------------------------------------ images
 # Deterministic synthetic image corpus (multimodal-columns brief): opaque
-# binary payloads in three REAL container formats (PNG/BMP/PPM — pure
-# numpy/stdlib codecs, functions/image.py) + typed metadata, with planted
-# near-dup clusters mirroring the audio corpus layout:
+# binary payloads in four REAL container formats (PNG/BMP/PPM/baseline
+# JPEG — pure numpy/stdlib codecs, functions/image.py + jpeg.py) + typed
+# metadata, with planted near-dup clusters mirroring the audio corpus
+# layout:
 #
 #     I0 exact      — byte-identical
-#     I1 re-encode  — same pixels, different container (lossless)
+#     I1 re-encode  — same pixels, different container (lossless except
+#                     into/out of jpg, which drifts a few dHash bits)
 #     I2 brightness — +/- uniform shift (dHash is comparison-based ->
 #                     fingerprint-invariant)
 #     I3 noise      — sigma~2 Gaussian pixel noise (a few dHash bits)
@@ -236,7 +238,7 @@ def generate_clips(spark, n: int, master_seed: int = 42,
 IMAGES_SCHEMA = "item_id string, bytes binary, fmt string, width int, height int"
 IMAGE_TRUTH_SCHEMA = "item_id string, cluster_id string, transform string"
 
-_IMG_FMTS = ["png", "bmp", "ppm"]
+_IMG_FMTS = ["png", "bmp", "ppm", "jpg"]
 _IMG_TRANSFORMS = ["I0", "I1", "I2", "I3", "I4"]
 
 
@@ -264,8 +266,17 @@ def _base_image(master_seed: int, idx: int) -> tuple[np.ndarray, str]:
 
 def _encode_image(img: np.ndarray, fmt: str) -> bytes:
     from kmcp_spark.functions import image as I
+    from kmcp_spark.functions.jpeg import encode_jpeg
 
-    return {"png": I.encode_png, "bmp": I.encode_bmp, "ppm": I.encode_ppm}[fmt](img)
+    # jpg at q95/4:4:4: lossy, but dHash drift measures <=4 bits on this
+    # corpus — planted dup pairs stay inside the hamming<=8 band regime
+    # even stacked with an I2/I3 photometric edit
+    return {
+        "png": I.encode_png,
+        "bmp": I.encode_bmp,
+        "ppm": I.encode_ppm,
+        "jpg": lambda a: encode_jpeg(a, quality=95, subsampling="444"),
+    }[fmt](img)
 
 
 def make_image_rows(ids: np.ndarray, master_seed: int = 42) -> pd.DataFrame:

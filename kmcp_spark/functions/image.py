@@ -1,19 +1,19 @@
 """Pure-numpy/stdlib image codecs + perceptual hashing.
 
-REAL decode for three container formats — PPM (P6), BMP (24-bit
-BI_RGB), and PNG (8-bit gray/RGB/RGBA, all five scanline filters,
-stdlib ``zlib``) — so the multimodal image path exercises actual bytes
-end-to-end in this codec-library-free container.  JPEG remains a
-clearly-marked stub in ``operators/media.py`` (lossy DCT codecs need
-libjpeg); these formats cover the decode → resize → feature → hash
-pipeline with real data.
+REAL decode for four container formats — PPM (P6), BMP (24-bit
+BI_RGB), PNG (8-bit gray/RGB/RGBA, all five scanline filters, stdlib
+``zlib``), and baseline-sequential JPEG (``functions/jpeg.py``: Huffman
+entropy decode + vectorized IDCT, 4:4:4/4:2:2/4:2:0, restart markers)
+— so the multimodal image path exercises actual bytes end-to-end in
+this codec-library-free container.  Progressive/arithmetic/12-bit JPEG
+raise ValueError and land as ``decode_ok=false`` flow-through.
 
 Perceptual hash: dHash (difference hash — area-downscale the luma to
-9x8, compare horizontally adjacent cells, pack 64 bits).  Format
-round-trips are lossless, so the SAME pixels re-encoded PNG/BMP/PPM
-produce the SAME dHash — re-encode dups land at hamming 0, and mild
-photometric edits (brightness, light noise) stay within a few bits,
-which is exactly the SimHash-style banding regime ``operators/dedup``
+9x8, compare horizontally adjacent cells, pack 64 bits).  PNG/BMP/PPM
+round-trips are lossless, so the SAME pixels re-encoded there produce
+the SAME dHash; JPEG q>=90 re-encodes measure <=5 bits of drift on the
+synthetic corpus, and mild photometric edits stay within a few bits —
+exactly the SimHash-style hamming<=8 banding regime ``operators/dedup``
 already implements (Manku et al., WWW 2007 pigeonhole banding).
 """
 
@@ -231,17 +231,18 @@ def decode_png(data: bytes) -> np.ndarray:
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff the container magic and decode to an (h, w, 3) uint8 array.
 
-    Raises ValueError for unknown/unsupported containers, and
-    NotImplementedError for JPEG specifically (recognized but needs
-    libjpeg — the one remaining honest stub)."""
+    Raises ValueError for unknown containers and for recognized-but-
+    unsupported modes (progressive/arithmetic/12-bit JPEG)."""
     if data.startswith(_PNG_SIG):
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
-    if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires libjpeg — not in this container")
+    if data[:2] == b"\xff\xd8":
+        from kmcp_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError("unknown image container")
 
 

@@ -2,12 +2,14 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 Audio decode + feature extraction are REAL (stdlib/numpy WAV + PCM16),
-and image decode is REAL for PNG/BMP/PPM (pure numpy/stdlib codecs,
-``functions/image.py``) feeding dHash fingerprinting + near-dup
-pairing.  The remaining honest stubs are lossy codecs that genuinely
-need native libraries absent from this container: JPEG (libjpeg) and
-FLAC — both clearly marked, both landing as ``decode_ok=False`` rather
-than crashing, and the Spark-side plumbing (schema, partitioning, UDF
+and image decode is REAL for PNG/BMP/PPM and baseline-sequential JPEG
+(pure numpy/stdlib codecs, ``functions/image.py`` + ``functions/
+jpeg.py``) feeding dHash fingerprinting + near-dup pairing.  The
+remaining honest stubs are compressed audio codecs that genuinely need
+native libraries absent from this container (FLAC/MP3) plus the
+non-baseline JPEG modes (progressive, arithmetic, 12-bit) — all
+clearly marked, all landing as ``decode_ok=False`` rather than
+crashing, and the Spark-side plumbing (schema, partitioning, UDF
 signature, Arrow batch shape) is identical to the real paths.
 """
 
@@ -127,10 +129,10 @@ IMAGE_FEATURES_SCHEMA = (
 def image_features(items: DataFrame, id_col: str = "item_id", bytes_col: str = "bytes") -> DataFrame:
     """REAL image feature extraction over the binary column.
 
-    PNG/BMP/PPM decode is pure numpy/stdlib (``functions/image.py``);
-    JPEG is recognized but raises NotImplementedError (needs libjpeg —
-    the one remaining honest stub) and lands as ``decode_ok=False``,
-    exactly like unknown containers."""
+    PNG/BMP/PPM/baseline-JPEG decode is pure numpy/stdlib
+    (``functions/image.py``, ``functions/jpeg.py``); unsupported JPEG
+    modes (progressive, arithmetic, 12-bit) and unknown containers land
+    as ``decode_ok=False`` flow-through."""
     from kmcp_spark.functions.image import decode_image, luma
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

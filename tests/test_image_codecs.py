@@ -40,7 +40,14 @@ def test_decode_image_dispatch():
     img = _img()
     for enc in (I.encode_ppm, I.encode_bmp, I.encode_png):
         assert np.array_equal(I.decode_image(enc(img)), img)
-    with pytest.raises(NotImplementedError):
+    # JPEG dispatch is REAL as of r5 (functions/jpeg.py): lossy, so
+    # near-equal rather than exact; malformed payloads raise ValueError
+    from kmcp_spark.functions.jpeg import encode_jpeg
+
+    dec = I.decode_image(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(np.int16) - img.astype(np.int16)).mean() < 6.0
+    with pytest.raises(ValueError):
         I.decode_image(b"\xff\xd8\xff\xe0 jpeg")
     with pytest.raises(ValueError):
         I.decode_image(b"garbage")
