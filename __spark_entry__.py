@@ -383,11 +383,18 @@ def _clips_corpus(spark: SparkSession, n: int = 80):
 
     from kmcp_spark.corpus import generate_clips
 
-    base = os.path.join(_FIXTURE_DIR, f"clips{n}")
+    # v2: the T1 re-encode transform rotates through REAL flac
+    # (functions/flac.py) in this fixture, so every clips_* oracle
+    # query — and the streaming parity query — entropy-decodes planted
+    # flac rows end-to-end.  The throughput-bench corpus (bench.py)
+    # keeps the default wav/pcm rotation; see corpus.make_rows.
+    base = os.path.join(_FIXTURE_DIR, f"clips{n}v2")
     marker = os.path.join(base, "_done.json")
     if not os.path.exists(marker):
         clips, truth = generate_clips(
-            spark, n, min_dur_s=0.4, max_dur_s=0.9, partitions=8
+            spark, n, min_dur_s=0.4, max_dur_s=0.9, partitions=8,
+            t1_codecs=("wav", "flac", "pcm_s16le"),  # wav bases -> flac
+            base_codecs=("wav", "pcm_s16le", "flac"),  # ~1/3 flac clips
         )
         clips.write.mode("overwrite").parquet(os.path.join(base, "clips"))
         truth.write.mode("overwrite").parquet(os.path.join(base, "truth"))

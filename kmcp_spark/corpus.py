@@ -13,9 +13,10 @@ to clusters of size 2–8 whose members derive from a base clip by one
 labeled transform:
 
     T0 exact      — byte-identical
-    T1 re-encode  — wav <-> raw pcm_s16le container change (lossless;
-                    PCM identical, so SNR = inf >= 30 dB).  ("flac" is a
-                    stub codec in this environment — no codec libs.)
+    T1 re-encode  — container rotation over ``t1_codecs`` (default
+                    wav <-> raw pcm_s16le; fixtures opt into "flac" —
+                    REAL subset codec, functions/flac.py).  Lossless:
+                    PCM identical, so SNR = inf >= 30 dB.
     T2 gain       — ×0.8 amplitude (spectral tokens are amplitude-
                     normalized, so the audio shingles survive)
     T3 truncate   — drop last 10% samples, dur_ms updated (containment)
@@ -72,8 +73,13 @@ def _rng(master_seed: int, idx: int) -> np.random.Generator:
     return np.random.default_rng([master_seed, idx])
 
 
-def _base_clip(master_seed: int, idx: int, min_dur_s: float, max_dur_s: float):
-    """Deterministic base audio + transcript for id ``idx``."""
+def _base_clip(master_seed: int, idx: int, min_dur_s: float, max_dur_s: float,
+               codecs: tuple = ("wav", "pcm_s16le")):
+    """Deterministic base audio + transcript for id ``idx``.
+
+    ``codecs`` is the container draw for base clips; the default keeps
+    the bench corpus byte-identical to prior rounds, while fixtures add
+    "flac" so ~1/len(codecs) of clips exercise real entropy decode."""
     rng = _rng(master_seed, idx)
     sr = int(_SRS[rng.integers(0, len(_SRS))])
     dur_s = float(rng.uniform(min_dur_s, max_dur_s))
@@ -100,13 +106,17 @@ def _base_clip(master_seed: int, idx: int, min_dur_s: float, max_dur_s: float):
     pcm = np.clip(pcm, -0.99, 0.99)
     n_words = int(rng.integers(5, 41))
     words = [VOCAB[int(w)] for w in rng.integers(0, len(VOCAB), n_words)]
-    codec = "wav" if rng.integers(0, 2) == 0 else "pcm_s16le"
+    codec = codecs[int(rng.integers(0, len(codecs)))]
     return pcm, sr, codec, words, rng
 
 
 def _encode(pcm: np.ndarray, sr: int, codec: str) -> bytes:
     if codec == "wav":
         return encode_wav(pcm, sr)
+    if codec == "flac":
+        from kmcp_spark.functions.flac import encode_flac
+
+        return encode_flac(pcm, sr)
     x = np.clip(pcm, -1.0, 1.0)
     return (x * 32767.0).astype("<i2").tobytes()
 
@@ -142,21 +152,33 @@ def make_rows(
     master_seed: int = 42,
     min_dur_s: float = 1.0,
     max_dur_s: float = 5.0,
+    t1_codecs: tuple = ("wav", "pcm_s16le"),
+    base_codecs: tuple = ("wav", "pcm_s16le"),
 ) -> pd.DataFrame:
-    """Generate clip + truth rows for the given ids (vector of int64)."""
+    """Generate clip + truth rows for the given ids (vector of int64).
+
+    ``t1_codecs`` is the container rotation the T1 re-encode transform
+    walks; adding ``"flac"`` (real subset codec, ``functions/flac.py``,
+    lossless + quantization-matched to ``encode_wav``) plants clips the
+    pipeline must entropy-decode.  Default leaves the 16k-clip bench
+    corpus byte-identical to prior rounds — flac's per-symbol Python
+    decode (~6 us/sample) belongs in oracle fixtures, not the
+    throughput-bench hot path (same posture as the image fixture's
+    jpg rows)."""
     recs = []
     for idx in ids.tolist():
         plan = _plan(idx)
         if plan is None:
-            pcm, sr, codec, words, _ = _base_clip(master_seed, idx, min_dur_s, max_dur_s)
+            pcm, sr, codec, words, _ = _base_clip(master_seed, idx, min_dur_s, max_dur_s, base_codecs)
             transform, cluster = "", f"clip_{idx:010d}"
         else:
             base_idx, j = plan
-            pcm, sr, codec, words, _ = _base_clip(master_seed, base_idx, min_dur_s, max_dur_s)
+            pcm, sr, codec, words, _ = _base_clip(master_seed, base_idx, min_dur_s, max_dur_s, base_codecs)
             rng = _rng(master_seed, (idx << 1) | 1)  # member-local randomness
             if j == -1:  # T5 near-miss: fresh clip sharing one word with base
                 pcm, sr, codec, own_words, _ = _base_clip(
-                    master_seed, idx + 10_000_019, min_dur_s, max_dur_s
+                    master_seed, idx + 10_000_019, min_dur_s, max_dur_s,
+                    base_codecs,
                 )
                 own_words = list(own_words)
                 own_words[int(rng.integers(0, len(own_words)))] = words[0]
@@ -167,7 +189,8 @@ def make_rows(
                 transform = _TRANSFORMS[(base_idx // _BLOCK + j) % 5]
                 cluster = f"clip_{base_idx:010d}"
                 if transform == "T1":
-                    codec = "pcm_s16le" if codec == "wav" else "wav"
+                    cur = t1_codecs.index(codec) if codec in t1_codecs else -1
+                    codec = t1_codecs[(cur + 1) % len(t1_codecs)]
                 elif transform == "T2":
                     pcm = pcm * 0.8
                 elif transform == "T3":
@@ -201,14 +224,17 @@ def make_rows(
 
 def generate_clips(spark, n: int, master_seed: int = 42,
                    min_dur_s: float = 1.0, max_dur_s: float = 5.0,
-                   partitions: int | None = None):
+                   partitions: int | None = None,
+                   t1_codecs: tuple = ("wav", "pcm_s16le"),
+                   base_codecs: tuple = ("wav", "pcm_s16le")):
     """Distributed generation: (clips_df, truth_df)."""
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
 
     def gen(batches):
         for pdf in batches:
             yield make_rows(
-                pdf["id"].to_numpy(), master_seed, min_dur_s, max_dur_s
+                pdf["id"].to_numpy(), master_seed, min_dur_s, max_dur_s,
+                t1_codecs, base_codecs,
             )
 
     full = spark.range(0, n, 1, parts).mapInPandas(

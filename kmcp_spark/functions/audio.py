@@ -7,10 +7,14 @@ The input table carries opaque ``bytes`` plus typed metadata
   - ``wav``: RIFF/WAVE container around PCM16 (parsed with the stdlib
     ``wave`` module semantics, implemented directly on bytes so it is
     zero-copy per Arrow batch).
-  - ``flac`` (and anything else): STUBBED — this container has no audio
-    codec libraries; ``decode_pcm`` raises NotImplementedError for them.
-    The Spark-side plumbing (schema, UDF signature, batch shape) is real
-    and tested via the two supported codecs.
+  - ``flac``: REAL subset decode (``functions/flac.py`` — pure-numpy
+    fixed/LPC prediction + Rice residuals, CRC-verified); lossless, so
+    a flac re-encode yields bit-identical PCM and identical sketches.
+  - anything else (mp3/ogg/aac): STUBBED — lossy audio codecs genuinely
+    need native libraries absent from this container; ``decode_pcm``
+    raises NotImplementedError and the operators flow the row through
+    as ``decode_ok=false``.  The Spark-side plumbing (schema, UDF
+    signature, batch shape) is identical to the real paths.
 
 Spectral tokens: frames of ``frame_len`` samples with hop ``hop_len``;
 per frame, log-energies of ``n_bands`` rFFT bands are normalized by the
@@ -40,9 +44,14 @@ def decode_pcm(data: bytes, codec: str) -> np.ndarray:
         return np.frombuffer(data, dtype="<i2").astype(np.float32) / np.float32(32768.0)
     if codec == "wav":
         return _decode_wav(data)
+    if codec == "flac":
+        from kmcp_spark.functions.flac import decode_flac
+
+        return decode_flac(data)[0]
     raise NotImplementedError(
         f"codec {codec!r}: no decoder in this environment (audio codec "
-        "libraries are not installed); pcm_s16le and wav are supported"
+        "libraries are not installed); pcm_s16le, wav, and flac "
+        "(functions/flac.py, subset) are supported"
     )
 
 

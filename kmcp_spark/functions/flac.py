@@ -1,0 +1,459 @@
+"""Pure-numpy FLAC (subset) codec.
+
+Closes the last audio-codec stub (``functions/audio.py`` raised
+NotImplementedError for anything beyond WAV/raw PCM): real FLAC bytes
+now flow decode -> PCM -> FFT features -> dual-domain shingles exactly
+like WAV.  Scope is the format's core, per the freely-published spec
+(https://xiph.org/flac/format.html — RFC 9639):
+
+  * decoder: fLaC stream marker, STREAMINFO + skipped metadata blocks,
+    frames with CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) subframes,
+    Rice residuals (partition order >= 0, both 4- and 5-bit parameter
+    escapes to verbatim residuals), UTF-8 frame numbers, wasted bits,
+    mono or independent stereo, 8/16/24-bit samples.  Mid/side stereo
+    raises ValueError -> the caller's ``decode_ok=false`` flow-through
+    (the synthetic corpus is mono; documented posture, same as
+    progressive JPEG).
+  * encoder (fixture generation + round-trip tests): 16-bit mono,
+    fixed-blocksize frames, best-of FIXED order 0-2 predictors with
+    single-partition Rice residuals, verbatim fallback when Rice would
+    expand.  Lossless: decode(encode(pcm)) is bit-identical, so a
+    flac re-encode of a planted duplicate produces IDENTICAL sketches
+    to its wav twin — the audio analog of the image fixture's lossless
+    re-encode transform.
+
+CRC-8 (poly 0x07) over the frame header and CRC-16 (poly 0x8005) over
+the whole frame are generated and VERIFIED — a corrupted payload fails
+loudly instead of yielding garbage PCM.  Entropy coding is the only
+per-symbol Python; everything after residual reconstruction is numpy.
+At fixture scale (<=2 s of 16 kHz mono per clip) decode is ~ms/clip —
+the same honest exact-baseline posture as ``functions/jpeg.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+# ---------------------------------------------------------------- CRC
+
+
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tbl = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        r = i << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if (r & top) else (r << 1)
+        tbl[i] = r & mask
+    return tbl
+
+
+_CRC8_TBL = _crc_table(0x07, 8)
+_CRC16_TBL = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TBL[(c ^ b) & 0xFF])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFF) ^ int(_CRC16_TBL[((c >> 8) ^ b) & 0xFF])
+    return c
+
+
+# ---------------------------------------------------------------- bits
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+
+class _BitReader:
+    """O(1) reads via 64-bit words; O(log n) unary via a ones index."""
+
+    def __init__(self, data: bytes) -> None:
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.ones = np.flatnonzero(bits)  # for O(log n) unary scans
+        padded = data + b"\x00" * ((-len(data)) % 8 + 8)  # +1 guard word
+        self.words = np.frombuffer(padded, dtype=">u8").tolist()
+        self.nbits = len(data) * 8
+        self.pos = 0
+
+    def read(self, nbits: int) -> int:
+        end = self.pos + nbits
+        if end > self.nbits:
+            raise ValueError("FLAC bitstream truncated")
+        i, off = divmod(self.pos, 64)
+        w = (self.words[i] << 64) | self.words[i + 1]
+        self.pos = end
+        return (w >> (128 - off - nbits)) & ((1 << nbits) - 1)
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
+    def read_unary(self) -> int:
+        i = np.searchsorted(self.ones, self.pos)
+        if i >= len(self.ones):
+            raise ValueError("FLAC bitstream truncated in unary code")
+        nxt = int(self.ones[i])
+        q = nxt - self.pos
+        self.pos = nxt + 1
+        return q
+
+    def align(self) -> None:
+        self.pos += (-self.pos) % 8
+
+    def byte_pos(self) -> int:
+        return self.pos // 8
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of frame numbers (up to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC), (7, 0xFE)):
+        if n < (1 << (6 * (nbytes - 1) + (7 - nbytes))):
+            out = [lead | (n >> (6 * (nbytes - 1)))]
+            for i in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+def _read_utf8_number(rd: _BitReader) -> int:
+    b0 = rd.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for i in range(7):
+        if not (b0 & (0x80 >> i)):
+            break
+        nbytes += 1
+    if nbytes < 2:
+        raise ValueError("bad FLAC UTF-8 frame number")
+    v = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        c = rd.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("bad FLAC UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+# ------------------------------------------------------------- encoder
+
+
+def encode_flac(pcm: np.ndarray, sample_rate: int, block_size: int = 4096) -> bytes:
+    """Subset FLAC from float PCM in [-1, 1] (16-bit mono)."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    # truncate-toward-zero to EXACTLY match encode_wav's quantization
+    # (functions/audio.py): a flac re-encode of a wav clip decodes to
+    # bit-identical PCM, so its sketches are identical too
+    samples = (x * 32767.0).astype(np.int16).astype(np.int64)
+    n = len(samples)
+
+    out = bytearray(b"fLaC")
+    # STREAMINFO: last-metadata flag + type 0, length 34
+    si = struct.pack(">HH", block_size, block_size)
+    si += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n  # mono, 16-bit
+    si += packed.to_bytes(8, "big")
+    si += b"\x00" * 16  # md5 unset (legal: all zeros = unknown)
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = samples[start:start + block_size]
+        out += _encode_frame(blk, fi, sample_rate, block_size)
+    return bytes(out)
+
+
+def _encode_frame(blk: np.ndarray, frame_no: int, sample_rate: int,
+                  nominal_bs: int) -> bytes:
+    bs = len(blk)
+    hdr = bytearray(b"\xff\xf8")  # sync + fixed-blocksize strategy
+    # explicit end-of-header forms for full generality: blocksize code 7
+    # (16-bit "samples - 1"), sample-rate code 13 (16-bit Hz)
+    hdr.append((0x07 << 4) | 0x0D)
+    hdr.append((0x00 << 4) | (0x04 << 1))  # mono, 16-bit (code 100), reserved 0
+    hdr += _utf8_number(frame_no)
+    hdr += struct.pack(">H", bs - 1)
+    hdr += struct.pack(">H", sample_rate)
+    hdr.append(_crc8(bytes(hdr)))
+
+    wr = _BitWriter()
+    best = None
+    for order in (0, 1, 2):
+        if bs <= order:
+            continue
+        res = blk.copy()
+        for _ in range(order):
+            res = np.diff(res)
+        cost = int(np.abs(res).sum())
+        if best is None or cost < best[1]:
+            best = (order, cost, res)
+    order, _, res = best
+    # subframe header: 0 + type + wasted-bit flag(0); FIXED type = 001xxx
+    wr.put((0x08 | order) << 1, 8)
+    for w in blk[:order]:  # warmup samples, verbatim at full width
+        wr.put(int(w) & 0xFFFF, 16)
+    _write_rice(wr, res, bs, order)
+    wr.align()
+    body = bytes(wr.out)
+    framed = bytes(hdr) + body
+    return framed + struct.pack(">H", _crc16(framed))
+
+
+def _write_rice(wr: _BitWriter, res: np.ndarray, bs: int, order: int) -> None:
+    # residual coding method 0 (4-bit rice), partition order 0
+    zz = np.where(res >= 0, res * 2, -res * 2 - 1).astype(np.int64)
+    mean = float(zz.mean()) if len(zz) else 0.0
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < 14:
+        k += 1
+    rice_bits = int((zz >> k).sum()) + len(zz) * (k + 1)
+    if rice_bits > 17 * len(zz):  # escape: verbatim 17-bit residuals
+        wr.put(0, 2)
+        wr.put(0, 4)
+        wr.put(0x0F, 4)  # parameter escape
+        wr.put(17, 5)
+        for v in res:
+            wr.put(int(v) & ((1 << 17) - 1), 17)
+        return
+    wr.put(0, 2)  # coding method 0
+    wr.put(0, 4)  # partition order 0
+    wr.put(k, 4)
+    for v in zz.tolist():
+        wr.put_unary(v >> k)
+        if k:
+            wr.put(v & ((1 << k) - 1), k)
+
+
+# ------------------------------------------------------------- decoder
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> (float32 PCM in [-1, 1] interleaved-flattened, rate)."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("FLAC metadata truncated")
+        hdr = data[pos]
+        last, btype = hdr & 0x80, hdr & 0x7F
+        length = int.from_bytes(data[pos + 1: pos + 4], "big")
+        if btype == 0:
+            si = data[pos + 4: pos + 4 + length]
+            packed = int.from_bytes(si[10:18], "big")
+            info = {
+                "rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bps": ((packed >> 36) & 0x1F) + 1,
+                "total": packed & ((1 << 36) - 1),
+            }
+        pos += 4 + length
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if info["channels"] > 2:
+        raise ValueError(f"unsupported FLAC channel count {info['channels']}")
+
+    chunks = []
+    while pos < len(data) - 1:
+        frame, pos = _decode_frame(data, pos, info)
+        chunks.append(frame)
+    if not chunks:
+        raise ValueError("FLAC has no frames")
+    pcm = np.concatenate(chunks)
+    if info["total"]:
+        pcm = pcm[: info["total"] * info["channels"]]
+    scale = np.float32(1 << (info["bps"] - 1))
+    return pcm.astype(np.float32) / scale, info["rate"]
+
+
+_BLOCKSIZES = [0, 192, 576, 1152, 2304, 4608, -1, -2,
+               256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
+_RATES = {0: None, 1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+          6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+
+
+def _decode_frame(data: bytes, pos: int, info: dict) -> tuple[np.ndarray, int]:
+    if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+        raise ValueError(f"FLAC frame sync lost at byte {pos}")
+    rd = _BitReader(data[pos:])
+    rd.read(16)  # sync + reserved + blocking strategy
+    bs_code = rd.read(4)
+    rate_code = rd.read(4)
+    chan_code = rd.read(4)
+    bps_code = rd.read(3)
+    rd.read(1)
+    _read_utf8_number(rd)
+    if bs_code == 6:
+        bs = rd.read(8) + 1
+    elif bs_code == 7:
+        bs = rd.read(16) + 1
+    else:
+        bs = _BLOCKSIZES[bs_code]
+        if bs <= 0:
+            raise ValueError("reserved FLAC blocksize code")
+    if rate_code == 12:
+        rd.read(8)
+    elif rate_code in (13, 14):
+        rd.read(16)
+    elif rate_code == 15:
+        raise ValueError("invalid FLAC sample-rate code")
+    hdr_len = rd.byte_pos()
+    crc_got = rd.read(8)
+    if _crc8(data[pos: pos + hdr_len]) != crc_got:
+        raise ValueError("FLAC frame header CRC mismatch")
+
+    bps = {1: 8, 4: 16, 5: 20, 6: 24}.get(bps_code, info["bps"] if bps_code == 0 else None)
+    if bps is None:
+        raise ValueError(f"unsupported FLAC bits-per-sample code {bps_code}")
+    if chan_code <= 7:
+        nchan = chan_code + 1
+        if nchan > 2:
+            raise ValueError(f"unsupported FLAC channel count {nchan}")
+        chans = [_decode_subframe(rd, bs, bps) for _ in range(nchan)]
+    else:
+        # 8/9/10 = left-side / right-side / mid-side
+        raise ValueError("unsupported FLAC stereo decorrelation mode")
+    rd.align()
+    frame_len = rd.byte_pos()
+    crc16_got = rd.read(16)
+    if _crc16(data[pos: pos + frame_len]) != crc16_got:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    if len(chans) == 1:
+        out = chans[0]
+    else:
+        out = np.empty(bs * 2, dtype=np.int64)
+        out[0::2], out[1::2] = chans[0], chans[1]
+    return out, pos + rd.byte_pos()
+
+
+def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> np.ndarray:
+    if rd.read(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    stype = rd.read(6)
+    wasted = 0
+    if rd.read(1):  # wasted-bits flag: unary count - 1 follows
+        wasted = rd.read_unary() + 1
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        out = np.full(bs, rd.read_signed(eff), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.array([rd.read_signed(eff) for _ in range(bs)], dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [rd.read_signed(eff) for _ in range(order)]
+        res = _read_residual(rd, bs, order)
+        out = _undifference(np.array(warm, dtype=np.int64), res, order, bs)
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        warm = [rd.read_signed(eff) for _ in range(order)]
+        prec = rd.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision code")
+        shift = rd.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [rd.read_signed(prec) for _ in range(order)]
+        res = _read_residual(rd, bs, order)
+        out = np.empty(bs, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, bs):
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * int(out[i - 1 - j])
+            out[i] = int(res[i - order]) + (pred >> shift)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    return out << wasted if wasted else out
+
+
+def _undifference(warm: np.ndarray, res: np.ndarray, order: int, bs: int) -> np.ndarray:
+    """Invert the order-k finite difference with k rounds of cumsum.
+
+    ``diff^j(warm)[0]`` seeds round j: level-j differences satisfy
+    d_j[i] = d_j[i-1] + d_{j+1}[i], so prepending the earliest level-j
+    value and integrating reconstructs the level exactly — all numpy,
+    no per-sample loop (fixed predictors ARE repeated np.diff)."""
+    if order == 0:
+        return res
+    firsts = []
+    cur = warm.astype(np.int64)
+    for _ in range(order):
+        firsts.append(cur[0])
+        cur = np.diff(cur)
+    sig = res
+    for j in range(order - 1, -1, -1):
+        sig = np.concatenate([firsts[j:j + 1], sig]).cumsum()
+    return sig
+
+
+def _read_residual(rd: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = rd.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = rd.read(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError("FLAC partition order does not divide blocksize")
+    out = np.empty(bs - order, dtype=np.int64)
+    w = 0
+    for p in range(nparts):
+        count = (bs >> porder) - (order if p == 0 else 0)
+        k = rd.read(plen)
+        if k == escape:
+            nbits = rd.read(5)
+            for i in range(count):
+                out[w + i] = rd.read_signed(nbits) if nbits else 0
+        else:
+            for i in range(count):
+                q = rd.read_unary()
+                v = (q << k) | (rd.read(k) if k else 0)
+                out[w + i] = (v >> 1) ^ -(v & 1)  # un-zigzag
+        w += count
+    return out

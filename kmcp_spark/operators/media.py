@@ -5,8 +5,9 @@ Audio decode + feature extraction are REAL (stdlib/numpy WAV + PCM16),
 and image decode is REAL for PNG/BMP/PPM and baseline-sequential JPEG
 (pure numpy/stdlib codecs, ``functions/image.py`` + ``functions/
 jpeg.py``) feeding dHash fingerprinting + near-dup pairing.  The
-remaining honest stubs are compressed audio codecs that genuinely need
-native libraries absent from this container (FLAC/MP3) plus the
+remaining honest stubs are lossy audio codecs that genuinely need
+native libraries absent from this container (MP3/OGG/AAC — FLAC is
+real as of r5, ``functions/flac.py``) plus the
 non-baseline JPEG modes (progressive, arithmetic, 12-bit) — all
 clearly marked, all landing as ``decode_ok=False`` rather than
 crashing, and the Spark-side plumbing (schema, partitioning, UDF

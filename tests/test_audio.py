@@ -43,8 +43,12 @@ def test_wav_and_raw_decode_identical():
 
 
 def test_unsupported_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
+    # flac is REAL as of r5 (functions/flac.py): invalid payloads raise
+    # ValueError; genuinely-stubbed lossy codecs raise NotImplementedError
+    with pytest.raises(ValueError):
         decode_pcm(b"\x00\x01", "flac")
+    with pytest.raises(NotImplementedError):
+        decode_pcm(b"\x00\x01", "mp3")
 
 
 def _jacc(a, b):
