@@ -298,9 +298,14 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     if info["channels"] > 2:
         raise ValueError(f"unsupported FLAC channel count {info['channels']}")
 
+    # ONE reader over the whole stream (unpackbits/ones-index/word list
+    # built once); frames advance its byte-aligned position — building a
+    # fresh reader per frame would be O(n_frames x stream_bytes)
+    rd = _BitReader(data)
+    rd.pos = pos * 8
     chunks = []
     while pos < len(data) - 1:
-        frame, pos = _decode_frame(data, pos, info)
+        frame, pos = _decode_frame(data, rd, pos, info)
         chunks.append(frame)
     if not chunks:
         raise ValueError("FLAC has no frames")
@@ -317,10 +322,10 @@ _RATES = {0: None, 1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
           6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
 
 
-def _decode_frame(data: bytes, pos: int, info: dict) -> tuple[np.ndarray, int]:
+def _decode_frame(data: bytes, rd: "_BitReader", pos: int,
+                  info: dict) -> tuple[np.ndarray, int]:
     if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
         raise ValueError(f"FLAC frame sync lost at byte {pos}")
-    rd = _BitReader(data[pos:])
     rd.read(16)  # sync + reserved + blocking strategy
     bs_code = rd.read(4)
     rate_code = rd.read(4)
@@ -342,9 +347,9 @@ def _decode_frame(data: bytes, pos: int, info: dict) -> tuple[np.ndarray, int]:
         rd.read(16)
     elif rate_code == 15:
         raise ValueError("invalid FLAC sample-rate code")
-    hdr_len = rd.byte_pos()
+    hdr_end = rd.byte_pos()  # absolute: rd spans the whole stream
     crc_got = rd.read(8)
-    if _crc8(data[pos: pos + hdr_len]) != crc_got:
+    if _crc8(data[pos:hdr_end]) != crc_got:
         raise ValueError("FLAC frame header CRC mismatch")
 
     bps = {1: 8, 4: 16, 5: 20, 6: 24}.get(bps_code, info["bps"] if bps_code == 0 else None)
@@ -359,16 +364,16 @@ def _decode_frame(data: bytes, pos: int, info: dict) -> tuple[np.ndarray, int]:
         # 8/9/10 = left-side / right-side / mid-side
         raise ValueError("unsupported FLAC stereo decorrelation mode")
     rd.align()
-    frame_len = rd.byte_pos()
+    frame_end = rd.byte_pos()
     crc16_got = rd.read(16)
-    if _crc16(data[pos: pos + frame_len]) != crc16_got:
+    if _crc16(data[pos:frame_end]) != crc16_got:
         raise ValueError("FLAC frame CRC-16 mismatch")
     if len(chans) == 1:
         out = chans[0]
     else:
         out = np.empty(bs * 2, dtype=np.int64)
         out[0::2], out[1::2] = chans[0], chans[1]
-    return out, pos + rd.byte_pos()
+    return out, rd.byte_pos()
 
 
 def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> np.ndarray:

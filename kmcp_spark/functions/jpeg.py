@@ -376,7 +376,19 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG to an (h, w, 3) uint8 RGB array."""
+    """Baseline-sequential JPEG to an (h, w, 3) uint8 RGB array.
+
+    Every malformed-payload failure mode surfaces as ValueError so the
+    operators' ``decode_ok=false`` flow-through contract holds; parser
+    index/struct/key slips on truncated or bit-flipped bytes are folded
+    into ValueError by the wrapper rather than crashing the Spark task."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, KeyError, OverflowError, struct.error) as ex:
+        raise ValueError(f"malformed JPEG: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -387,6 +399,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker sync lost at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # legal fill bytes before a marker (T.81 B.1.1.2)
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -421,6 +435,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                # 4-comp Adobe CMYK/YCCK would silently decode as garbage
+                # RGB; 2-comp is not a real colorspace here — flow through
+                raise ValueError(f"unsupported JPEG component count {nc}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = payload[6 + 3 * i: 9 + 3 * i]

@@ -238,22 +238,12 @@ def doc_band_rows(
     """(doc_id, band_id, band_hash) band relation from minhash
     signatures — the shared front half of ``lsh_candidates``, exposed so
     the cap-semantics oracle can STAGE the band relation and have DuckDB
-    mirror everything downstream of the (non-SQL) xxhash64 banding."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.lit(b),
-                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return signatures.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
-    )
+    mirror everything downstream of the (non-SQL) xxhash64 banding.
+    Delegates to the single banding kernel (``lsh.band_rows``) so the
+    document path can never desynchronize from the clip pipeline's."""
+    from kmcp_spark.operators.lsh import band_rows
+
+    return band_rows(signatures, bands, rows_per_band, "doc_id")
 
 
 def pairs_from_band_rows(band_rows: DataFrame, max_bucket: int) -> DataFrame:

@@ -26,11 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def band_buckets(sketches: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """sketches -> buckets(band_id int, band_hash bigint, clip_id string).
+def band_rows(src: DataFrame, bands: int, rows_per_band: int,
+              id_col: str) -> DataFrame:
+    """(id, band_id, band_hash) band relation from minhash signatures.
 
-    The band hash is computed JVM-side: ``xxhash64(band_id, slice(sig))``
-    — no Python in this stage at all.
+    THE banding kernel: one recipe serves the clip pipeline
+    (``band_buckets``) and the document path (``dedup.doc_band_rows``)
+    so the hash recipe can never desynchronize between them — both
+    paths and the staged skew-oracle tables derive from this exact
+    expression.  The band hash is computed JVM-side:
+    ``xxhash64(band_id, slice(sig))`` — no Python in this stage at all.
     """
     band_structs = F.array(
         *[
@@ -44,9 +49,14 @@ def band_buckets(sketches: DataFrame, bands: int, rows_per_band: int) -> DataFra
         ]
     )
     return (
-        sketches.select("clip_id", F.explode(band_structs).alias("band"))
-        .select("clip_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+        src.select(id_col, F.explode(band_structs).alias("band"))
+        .select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
     )
+
+
+def band_buckets(sketches: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """sketches -> buckets(band_id int, band_hash bigint, clip_id string)."""
+    return band_rows(sketches, bands, rows_per_band, "clip_id")
 
 
 def bucket_stats(buckets: DataFrame) -> DataFrame:

@@ -244,7 +244,14 @@ class DedupPipeline:
             self._stage("bucket_histogram", lambda: bucket_stats(buckets), force=force)
 
         # sweep any blocks persisted during this run (e.g. the CC loop's
-        # final label snapshot — superseded by the clusters checkpoint)
+        # final label snapshot — superseded by the clusters checkpoint).
+        # The untagged release_deferred() is the registry-side mirror:
+        # it drops the deferred-unpersist entries (candidate_pairs' lsh
+        # over_rel cache) so the registry holds no stale references and
+        # non-pipeline consumers see the documented end-of-run sweep.
+        from kmcp_spark.runtime import release_deferred
+
+        release_deferred()
         unpersist_ids(
             self.spark.sparkContext,
             persistent_ids(self.spark.sparkContext) - ids_at_entry,

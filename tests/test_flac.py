@@ -184,3 +184,20 @@ def test_corpus_t1_flac_rows_decode_and_match_cluster_base():
     # default rotation unchanged: byte-identical bench corpus
     d1 = make_rows(ids, min_dur_s=0.4, max_dur_s=0.9)
     assert "flac" not in set(d1["codec"])
+
+
+def test_fuzz_raises_value_error_only():
+    """decode_ok=false flow-through: truncations and bit flips must only
+    ever raise ValueError (CRC or parse), never IndexError/OverflowError
+    — a malformed clip must not crash the Spark task."""
+    base = encode_flac(_pcm(9000), 16000)
+    for cut in range(1, len(base), 97):
+        with pytest.raises(ValueError):
+            decode_flac(base[:cut] if cut < len(base) else base[:cut] + b"x")
+    for i in range(0, len(base), 53):
+        buf = bytearray(base)
+        buf[i] ^= 0xA5
+        try:
+            decode_flac(bytes(buf))
+        except ValueError:
+            pass

@@ -90,3 +90,42 @@ def test_fixture_contains_decodable_jpg_rows():
     # at least one planted jpg-involved dup cluster exists
     dup = pdf[pdf["cluster_id"].isin(pdf[pdf["fmt"] == "jpg"]["cluster_id"])]
     assert (dup.groupby("cluster_id").size() > 1).any()
+
+
+def test_malformed_payloads_raise_value_error_only():
+    """The decode_ok=false flow-through contract: ANY malformed payload
+    must raise ValueError (never IndexError/struct.error/KeyError/
+    OverflowError, which would crash the Spark task)."""
+    base = encode_jpeg(_test_img(24, 24), quality=80)
+    # truncations at every interesting boundary
+    for cut in (3, 10, 21, len(base) // 2, len(base) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(base[:cut])
+    # deterministic bit flips across the whole stream
+    for i in range(2, len(base), 7):
+        buf = bytearray(base)
+        buf[i] ^= 0x81
+        try:
+            decode_jpeg(bytes(buf))
+        except ValueError:
+            pass  # the only acceptable failure mode
+
+
+def test_fill_bytes_before_marker_accepted():
+    # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    # bytes; a spec-valid file must not be rejected
+    base = encode_jpeg(_test_img(16, 16))
+    i = base.find(b"\xff\xdb")
+    padded = base[:i] + b"\xff\xff\xff" + base[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(base))
+
+
+def test_four_component_cmyk_rejected():
+    # rewrite SOF0's component count to 4 (Adobe CMYK shape): must raise
+    # ValueError, not silently decode garbage RGB with decode_ok=True
+    buf = bytearray(encode_jpeg(_test_img(16, 16)))
+    i = bytes(buf).find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1)
+    buf[i + 9] = 4
+    with pytest.raises(ValueError, match="component count"):
+        decode_jpeg(bytes(buf))

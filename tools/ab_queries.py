@@ -53,10 +53,16 @@ def probe() -> dict:
 
 def leg(root: str, tag: str) -> dict:
     t0 = time.time()
-    r = subprocess.run(
-        [sys.executable, "-c", LEG_SNIPPET.format(sf=SF_DIR, cores=CORES)],
-        cwd=root, capture_output=True, text=True, timeout=1800,
-    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", LEG_SNIPPET.format(sf=SF_DIR, cores=CORES)],
+            cwd=root, capture_output=True, text=True, timeout=1800,
+        )
+    except (subprocess.TimeoutExpired, OSError) as ex:
+        # a hung leg must not discard the completed ones
+        log(f"{tag} leg ABORTED: {ex}")
+        return {"tag": tag, "ok": False, "wall": round(time.time() - t0, 1),
+                "error": str(ex)[:200]}
     wall = round(time.time() - t0, 1)
     qtimes = None
     for ln in r.stdout.splitlines():
@@ -100,11 +106,14 @@ def main() -> None:
                   ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
                   capture_output=True, text=True).stdout.strip(),
               "legs": [], "probes": [probe()]}
+    out = os.path.join(REPO, "BENCH", "r5_ab_queries.json")
     log("start; probe:", record["probes"][0], "order:", order)
     for tag in order:
         record["legs"].append(leg(roots[tag], tag))
         record["probes"].append(probe())
         log("probe:", record["probes"][-1])
+        with open(out, "w") as f:  # incremental: survive a later crash
+            json.dump(record, f, indent=1)
 
     # per-query medians over OK legs, ratio head/r3 on the shared set
     per = {"r3": {}, "head": {}}
@@ -123,7 +132,6 @@ def main() -> None:
     record["shared_total_r3"] = round(sum(med["r3"][q] for q in shared), 2)
     record["shared_total_head"] = round(sum(med["head"][q] for q in shared), 2)
     record["head_only_queries"] = sorted(set(med["head"]) - set(med["r3"]))
-    out = os.path.join(REPO, "BENCH", "r5_ab_queries.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
     log("wrote", out)
